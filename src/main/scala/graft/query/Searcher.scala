@@ -1,0 +1,334 @@
+package graft.query
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analysis.CodeTokenizer
+import graft.codec.{PostingCodec, VByte}
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.model._
+
+/** BM25 top-k query engine over a built graft index.
+  *
+  * Determinism contract (rank-identity across parallelism levels and vs the
+  * sequential oracle, SURVEY.md §7.0/§7.5): query terms get a canonical
+  * order (sorted unique); every scorer — TAAT, WAND, and the sequential
+  * oracle — sums per-term contributions in that order, so Double summation
+  * is bit-identical everywhere. Tie-break: score DESC, docId ASC.
+  *
+  * Two scoring paths:
+  *   - `scoreAll` / `searchTAAT`: term-at-a-time over decoded postings as a
+  *     declarative Spark plan (decode flatMap → join doc norms → mapGroups
+  *     ordered sum). Used for oracle parity and full-ranking dumps.
+  *   - `searchWAND`: sharded Block-Max WAND. Posting blocks never span docId
+  *     shard boundaries (IndexBuilder), so every document is fully scorable
+  *     inside one shard; each shard runs a sequential WAND with (a) global
+  *     per-term score upper bounds for pivot selection, (b) undecoded block
+  *     skipping in nextGEQ via lastDocId metadata, and (c) a block-max skip:
+  *     a pivot is dropped without decoding when the sum of its cursors'
+  *     current-block max scores is strictly below the heap threshold. Local
+  *     top-k's merge to an exact global top-k (terrier's parallel top-k
+  *     sorter shape, sorter.cpp:332).
+  */
+final class Searcher(spark: SparkSession, cfg: IndexConfig) extends Serializable {
+  import spark.implicits._
+
+  val stats: CorpusStats = IndexBuilder.stats(cfg)
+  private val p = cfg.bm25
+
+  /** Canonical query terms: tokenize, dedupe, sort. */
+  def queryTerms(query: String): Array[String] =
+    CodeTokenizer.tokenize(query).distinct.sorted.toArray
+
+  private def lexFor(terms: Array[String]): Map[String, (Long, Double)] =
+    spark.read.parquet(cfg.lexiconPath)
+      .filter($"term".isin(terms.toSeq: _*))
+      .select($"term", $"df", $"maxTfNorm")
+      .as[(String, Long, Double)]
+      .collect()
+      .map { case (t, df, m) => t -> (df, m) }
+      .toMap
+
+  private def blocksFor(terms: Array[String]): Dataset[PostingBlockRow] =
+    spark.read.parquet(cfg.postingsPath)
+      .filter($"term".isin(terms.toSeq: _*))
+      .as[PostingBlockRow]
+
+  /** Full BM25 scores of every matching document (no k cutoff); exact and
+    * deterministic. Returned unsorted — callers order as needed. */
+  def scoreAll(query: String): Dataset[ScoredDoc] = {
+    val terms = queryTerms(query)
+    if (terms.isEmpty) return spark.emptyDataset[ScoredDoc]
+    val lex = lexFor(terms)
+    val n = stats.numDocs
+    val avgDl = stats.avgDl
+    val k1 = p.k1; val b = p.b
+    // idf * (k1+1) weight per canonical term index
+    val termIdx: Map[String, Int] = terms.zipWithIndex.toMap
+    val w: Map[Int, Double] = terms.zipWithIndex.collect {
+      case (t, i) if lex.contains(t) =>
+        i -> IndexBuilder.idf(n, lex(t)._1) * (k1 + 1.0)
+    }.toMap
+    val wB = spark.sparkContext.broadcast(w)
+    val idxB = spark.sparkContext.broadcast(termIdx)
+
+    val postings = blocksFor(terms).flatMap { blk =>
+      val ti = idxB.value(blk.term)
+      PostingCodec.decodeBlock(blk.bytes).map(pp => (pp.docId, ti, pp.tf))
+    }.toDF("docId", "termIdx", "tf")
+
+    val norms = spark.read.parquet(cfg.docsPath).select($"docId", $"dl")
+
+    postings.join(norms, "docId")
+      .as[(Long, Int, Int, Int)]
+      .groupByKey(_._1)
+      .mapGroups { (docId, rows) =>
+        // Sum contributions in canonical term order for Double determinism.
+        val contribs = rows.toArray.sortBy(_._2)
+        var s = 0.0
+        var i = 0
+        while (i < contribs.length) {
+          val (_, ti, tf, dl) = contribs(i)
+          s += wB.value(ti) * (tf / (tf + k1 * (1.0 - b + b * dl / avgDl)))
+          i += 1
+        }
+        ScoredDoc(docId, s)
+      }
+  }
+
+  /** Exact top-k via full scoring + TakeOrderedAndProject. */
+  def searchTAAT(query: String, k: Int): Array[ScoredDoc] =
+    scoreAll(query).orderBy($"score".desc, $"docId".asc).limit(k).collect()
+
+  /** Exact top-k via sharded Block-Max WAND. */
+  def searchWAND(query: String, k: Int): Array[ScoredDoc] = {
+    val terms = queryTerms(query)
+    if (terms.isEmpty) return Array.empty
+    val lex = lexFor(terms)
+    val present = terms.filter(lex.contains)
+    if (present.isEmpty) return Array.empty
+    val n = stats.numDocs
+    val avgDl = stats.avgDl
+    val k1 = p.k1; val b = p.b
+    val nShards = cfg.numShards
+    // weight and global UB per canonical present-term index
+    val weights: Array[Double] =
+      present.map(t => IndexBuilder.idf(n, lex(t)._1) * (k1 + 1.0))
+    val termUB: Array[Double] =
+      present.indices.map(i => weights(i) * lex(present(i))._2).toArray
+    val idxOf: Map[String, Int] = present.zipWithIndex.toMap
+    val idxB = spark.sparkContext.broadcast(idxOf)
+    val wB = spark.sparkContext.broadcast(weights)
+    val ubB = spark.sparkContext.broadcast(termUB)
+    val kk = k
+
+    val blocks = blocksFor(present)
+      .map(blk => (IndexBuilder.shardOf(blk.firstDocId, n, nShards), blk))
+      .groupByKey(_._1)
+    val norms = spark.read.parquet(cfg.docsPath)
+      .select($"docId", $"dl").as[(Long, Int)]
+      .map { case (d, dl) => (IndexBuilder.shardOf(d, n, nShards), d, dl) }
+      .groupByKey(_._1)
+
+    val local: Dataset[ScoredDoc] = blocks.cogroup(norms) {
+      (_, blkIt, normIt) =>
+        val dlMap = new java.util.HashMap[Long, Int]()
+        normIt.foreach { case (_, d, dl) => dlMap.put(d, dl) }
+        val byTerm = blkIt.map(_._2).toArray.groupBy(_.term)
+        if (byTerm.isEmpty) Iterator.empty
+        else WandShard.topK(byTerm, idxB.value, wB.value, ubB.value,
+          dlMap, k1, b, avgDl, kk).iterator
+    }
+
+    local.orderBy($"score".desc, $"docId".asc).limit(k).collect()
+  }
+
+  /** Lineage check (BASELINE.json per-row invariant): every indexed doc's
+    * stored sha matches sha2(content, 256) of the source row. Returns the
+    * number of violations (0 = pass). */
+  def verifyLineage(corpus: Dataset[SourceFile]): Long = {
+    val docs = spark.read.parquet(cfg.docsPath)
+      .select($"repo", $"path", $"commit", $"sha")
+    val src = corpus.toDF()
+      .select($"repo", $"path", $"commit", sha2($"content", 256).as("srcSha"))
+    docs.join(src, Seq("repo", "path", "commit"), "left")
+      .filter($"srcSha".isNull || $"srcSha" =!= $"sha")
+      .count()
+  }
+}
+
+/** Sequential WAND over one docId shard (runs inside one task). */
+object WandShard {
+
+  /** Cursor over one term's blocks within a shard; blocks sorted by
+    * firstDocId. Decodes a block only when entered. */
+  private final class Cursor(
+      val termIdx: Int,
+      blocks: Array[PostingBlockRow],
+      val weight: Double,
+      val ub: Double) {
+    private var bi = 0
+    private var docIds: Array[Long] = _
+    private var tfs: Array[Int] = _
+    private var pos = 0
+    var curDoc: Long = -1L
+    var curTf: Int = 0
+    var alive: Boolean = true
+    decodeCurrent()
+    loadPosting()
+
+    def blockMaxScore(k1: Double, dummy: Double): Double =
+      weight * blocks(bi).maxTfNorm
+
+    private def decodeCurrent(): Unit = {
+      if (bi >= blocks.length) { alive = false; return }
+      val bytes = blocks(bi).bytes
+      val ppos = Array(0)
+      val count = VByte.decode(bytes, ppos).toInt
+      docIds = new Array[Long](count)
+      tfs = new Array[Int](count)
+      docIds(0) = VByte.decode(bytes, ppos)
+      var i = 1
+      while (i < count) {
+        docIds(i) = docIds(i - 1) + VByte.decode(bytes, ppos); i += 1
+      }
+      i = 0
+      while (i < count) { tfs(i) = VByte.decode(bytes, ppos).toInt; i += 1 }
+      pos = 0
+    }
+
+    private def loadPosting(): Unit = {
+      if (!alive) return
+      curDoc = docIds(pos); curTf = tfs(pos)
+    }
+
+    def advance(): Unit = {
+      pos += 1
+      if (pos >= docIds.length) {
+        bi += 1
+        if (bi >= blocks.length) { alive = false; curDoc = Long.MaxValue; return }
+        decodeCurrent()
+      }
+      loadPosting()
+    }
+
+    /** Move to the first posting with docId >= target. Skips whole blocks
+      * via lastDocId metadata without decoding them. */
+    def nextGEQ(target: Long): Unit = {
+      if (!alive || curDoc >= target) return
+      // skip undecoded blocks
+      if (blocks(bi).lastDocId < target) {
+        while (bi < blocks.length && blocks(bi).lastDocId < target) bi += 1
+        if (bi >= blocks.length) { alive = false; curDoc = Long.MaxValue; return }
+        decodeCurrent()
+      }
+      // binary search within the decoded block
+      var lo = pos; var hi = docIds.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (docIds(mid) < target) lo = mid + 1 else hi = mid
+      }
+      pos = lo
+      loadPosting()
+      if (curDoc < target) { // target beyond this block's last (shouldn't happen)
+        advance(); nextGEQ(target)
+      }
+    }
+  }
+
+  /** Exact top-k of one shard. `byTerm`: term -> its blocks in this shard. */
+  def topK(
+      byTerm: Map[String, Array[PostingBlockRow]],
+      idxOf: Map[String, Int],
+      weights: Array[Double],
+      termUB: Array[Double],
+      dlMap: java.util.HashMap[Long, Int],
+      k1: Double, b: Double, avgDl: Double,
+      k: Int): Seq[ScoredDoc] = {
+
+    val cursors: Array[Cursor] = byTerm.toArray.map { case (t, blks) =>
+      val ti = idxOf(t)
+      new Cursor(ti, blks.sortBy(_.firstDocId), weights(ti), termUB(ti))
+    }
+
+    // min-heap of the current top-k ordered worst-first:
+    // (score asc, docId desc) so the root is the entry to beat.
+    implicit val ord: Ordering[ScoredDoc] = Ordering.by(sd => (-sd.score, sd.docId))
+    val heap = new scala.collection.mutable.PriorityQueue[ScoredDoc]()
+    def theta: Double = if (heap.size < k) Double.NegativeInfinity else heap.head.score
+    def offer(d: ScoredDoc): Unit = {
+      if (heap.size < k) heap.enqueue(d)
+      else {
+        val w = heap.head
+        if (d.score > w.score || (d.score == w.score && d.docId < w.docId)) {
+          heap.dequeue(); heap.enqueue(d)
+        }
+      }
+    }
+
+    val live = scala.collection.mutable.ArrayBuffer(cursors.toSeq: _*)
+    var running = true
+    while (running && live.nonEmpty) {
+      live.filterInPlace(_.alive)
+      if (live.isEmpty) running = false
+      else {
+        val sorted = live.sortInPlace()(Ordering.by(_.curDoc))
+        // pivot: smallest prefix whose UB sum could beat theta
+        var acc = 0.0
+        var pivot = -1
+        var i = 0
+        val th = theta
+        while (pivot < 0 && i < sorted.length) {
+          acc += sorted(i).ub
+          // strict: equality cannot beat theta on score, but could win the
+          // docId tie-break, so >= keeps it (no false pruning on ties).
+          if (acc >= th || th == Double.NegativeInfinity) pivot = i
+          i += 1
+        }
+        if (pivot < 0) running = false
+        else {
+          val pivotDoc = sorted(pivot).curDoc
+          if (sorted(0).curDoc == pivotDoc) {
+            // all cursors 0..pivot sit on pivotDoc; gather every cursor at it
+            var bub = 0.0
+            var j = 0
+            while (j < sorted.length && sorted(j).curDoc == pivotDoc) {
+              bub += sorted(j).blockMaxScore(k1, b); j += 1
+            }
+            val nAt = j
+            if (bub < th) {
+              // block-max skip: true score <= bub < theta strictly
+              j = 0
+              while (j < nAt) { sorted(j).advance(); j += 1 }
+            } else {
+              // full score in canonical term order
+              val contrib = new Array[Double](weights.length)
+              val dl = dlMap.get(pivotDoc)
+              j = 0
+              while (j < nAt) {
+                val c = sorted(j)
+                val tf = c.curTf
+                contrib(c.termIdx) =
+                  c.weight * (tf / (tf + k1 * (1.0 - b + b * dl / avgDl)))
+                j += 1
+              }
+              var s = 0.0
+              var ti = 0
+              while (ti < contrib.length) { s += contrib(ti); ti += 1 }
+              offer(ScoredDoc(pivotDoc, s))
+              j = 0
+              while (j < nAt) { sorted(j).advance(); j += 1 }
+            }
+          } else {
+            // advance cursors before the pivot up to pivotDoc
+            var j = 0
+            while (j < pivot && sorted(j).curDoc < pivotDoc) {
+              sorted(j).nextGEQ(pivotDoc); j += 1
+            }
+          }
+        }
+      }
+    }
+    heap.dequeueAll.reverse.toSeq // best-first
+  }
+}

@@ -1,0 +1,185 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.checkpoint.Manifest
+import graft.corpus.CorpusGen
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.model._
+import graft.query.{Searcher, SequentialOracle}
+
+/** End-to-end index build + BM25 rank-parity suite (the engine's analogue of
+  * the reference's golden compiled-query tests, compiler_test.cpp). */
+class IndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val NumFiles = 800
+  // Low salt threshold + few shards on purpose: forces the heavy-term salted
+  // path at test scale.
+  def cfg(dir: String) = IndexConfig(indexDir = dir, numShards = 8,
+    heavyDfThreshold = 300, buildPartitions = 8)
+
+  lazy val corpusDS = CorpusGen.generate(spark, NumFiles).cache()
+  lazy val corpusLocal: Seq[SourceFile] =
+    (0L until NumFiles).map(CorpusGen.genFile(_, 42L))
+  lazy val oracle = new SequentialOracle(corpusLocal)
+
+  lazy val indexDir = TestSpark.tmpDir("graft-index")
+  lazy val built: CorpusStats = IndexBuilder.build(spark, corpusDS, cfg(indexDir))
+  lazy val searcher = new Searcher(spark, cfg(indexDir))
+
+  // frozen reference query set (FIXTURES.md §1): rare + common + absent +
+  // all-heavy-hitter mixes, 1..4 terms
+  val refQueries = Seq(
+    "if", "return", "if return", "def val",
+    "get_set", "node_item", "hash join",
+    "scan sort merge agg",
+    "if return def val",
+    "zzz_not_a_term", "if zzz_not_a_term",
+    "get_map_x003", "buf_node", "import class",
+    "exec_plan", "package range var type",
+    "the and for with", "col row doc term",
+    "static void", "idx_buf_x100")
+
+  test("corpus generator is deterministic and matches the driver-side gen") {
+    val a = CorpusGen.genFile(123L, 42L)
+    val b = CorpusGen.genFile(123L, 42L)
+    assert(a == b)
+    val fromSpark = corpusDS.filter($"path".contains("File123.")).collect()
+    assert(fromSpark.length == 1 && fromSpark.head == a)
+  }
+
+  test("index builds with plausible stats") {
+    assert(built.numDocs == NumFiles)
+    assert(built.avgDl > 100 && built.totalTokens > 100000L)
+    assert(built.vocabSize > 100)
+  }
+
+  test("docmap is the dense lexicographic rank of (repo, path, commit)") {
+    val dm = spark.read.parquet(cfg(indexDir).docmapPath)
+      .as[DocMapEntry].collect().sortBy(_.docId)
+    assert(dm.length == NumFiles)
+    assert(dm.map(_.docId).toSeq == (0L until NumFiles))
+    val keys = dm.map(e => (e.repo, e.path, e.commit)).toSeq
+    assert(keys == keys.sorted)
+    // agrees with the sequential oracle's docId assignment
+    assert(keys.head == oracle.docKey(0L))
+    assert(keys.last == oracle.docKey(NumFiles - 1L))
+  }
+
+  test("heavy terms were salted across shards (skew defusal engaged)") {
+    val m = new Manifest(indexDir)
+    assert(m.get("postings").get.extra("heavyTerms").toInt > 0)
+    val blocks = spark.read.parquet(cfg(indexDir).postingsPath)
+    val shardsOfIf = blocks.filter($"term" === "if")
+      .select(countDistinct($"shard")).as[Long].head()
+    assert(shardsOfIf > 1, "term 'if' should span multiple shards")
+  }
+
+  test("postings round-trip: decoded postings == per-doc term frequencies") {
+    val decoded = spark.read.parquet(cfg(indexDir).postingsPath)
+      .as[PostingBlockRow]
+      .flatMap(b => graft.codec.PostingCodec.decodeBlock(b.bytes)
+        .map(p => (b.term, p.docId, p.tf)))
+      .collect().toSet
+    val expected = corpusLocal.sortBy(f => (f.repo, f.path, f.commit))
+      .zipWithIndex.flatMap { case (f, d) =>
+        graft.analysis.CodeTokenizer.termFreqs(f.content)._1
+          .map { case (t, tf) => (t, d.toLong, tf) }
+      }.toSet
+    assert(decoded == expected)
+  }
+
+  test("blocks never span shard boundaries and are docId-sorted") {
+    val nDocs = built.numDocs
+    val bad = spark.read.parquet(cfg(indexDir).postingsPath)
+      .as[PostingBlockRow]
+      .filter(b =>
+        IndexBuilder.shardOf(b.firstDocId, nDocs, 8) !=
+          IndexBuilder.shardOf(b.lastDocId, nDocs, 8) ||
+        b.firstDocId > b.lastDocId)
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("lexicon df/cf match the oracle's corpus statistics") {
+    val lexDf = spark.read.parquet(cfg(indexDir).lexiconPath)
+      .select($"term", $"df").as[(String, Long)].collect().toMap
+    val expectedDf = scala.collection.mutable.HashMap.empty[String, Long]
+    corpusLocal.foreach { f =>
+      graft.analysis.CodeTokenizer.termFreqs(f.content)._1.keysIterator
+        .foreach(t => expectedDf.update(t, expectedDf.getOrElse(t, 0L) + 1L))
+    }
+    assert(lexDf.size == expectedDf.size)
+    assert(lexDf("if") == expectedDf("if"))
+    expectedDf.foreach { case (t, d) => assert(lexDf(t) == d, s"df($t)") }
+  }
+
+  test("BM25 rank parity: TAAT == WAND == sequential oracle (exact scores)") {
+    refQueries.foreach { q =>
+      val exp = oracle.topK(q, 10)
+      val taat = searcher.searchTAAT(q, 10).toVector
+      val wand = searcher.searchWAND(q, 10).toVector
+      assert(taat == exp, s"TAAT mismatch for '$q'")
+      assert(wand == exp, s"WAND mismatch for '$q'")
+    }
+  }
+
+  test("rank parity holds at a different shuffle parallelism (N vs 4N proxy)") {
+    val dir2 = TestSpark.tmpDir("graft-index2")
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val c2 = cfg(dir2).copy(buildPartitions = 3)
+      IndexBuilder.build(spark, corpusDS, c2)
+      val s2 = new Searcher(spark, c2)
+      refQueries.foreach { q =>
+        assert(s2.searchWAND(q, 10).toVector == oracle.topK(q, 10),
+          s"parallelism-dependent result for '$q'")
+      }
+      // lexicon identical across parallelism levels
+      val l1 = spark.read.parquet(cfg(indexDir).lexiconPath)
+        .as[LexiconEntry].collect().sortBy(_.term).toSeq
+      val l2 = spark.read.parquet(c2.lexiconPath)
+        .as[LexiconEntry].collect().sortBy(_.term).toSeq
+      assert(l1 == l2)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
+  test("lineage invariant: stored sha == sha2(content,256) of source rows") {
+    assert(searcher.verifyLineage(corpusDS) == 0L)
+  }
+
+  test("resume: restart after partial build skips completed stages, same index") {
+    val dir3 = TestSpark.tmpDir("graft-index3")
+    val c3 = cfg(dir3)
+    IndexBuilder.build(spark, corpusDS, c3)
+    val m = new Manifest(dir3)
+    val docmapWallBefore = m.get("docmap").get.wallMs
+    val docsMtime = new java.io.File(c3.docsPath).lastModified()
+
+    // simulate a crash after stage 2: wipe postings+lexicon records
+    val keep = m.read().view.filterKeys(Set("docmap", "docs")).toMap
+    val m2 = new Manifest(dir3)
+    // rewrite manifest with only the kept stages
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir3, "manifest.json"))
+    keep.values.foreach(m2.commit)
+
+    IndexBuilder.build(spark, corpusDS, c3) // resume
+    assert(m2.get("docmap").get.wallMs == docmapWallBefore, "docmap re-ran")
+    assert(new java.io.File(c3.docsPath).lastModified() == docsMtime, "docs re-ran")
+    val s3 = new Searcher(spark, c3)
+    refQueries.take(6).foreach { q =>
+      assert(s3.searchWAND(q, 10).toVector == oracle.topK(q, 10))
+    }
+  }
+
+  test("per-partition build metrics were recorded") {
+    val metrics = spark.read.parquet(cfg(indexDir).metricsPath)
+    assert(metrics.filter($"stage" === "docs").count() > 0)
+    assert(metrics.filter($"stage" === "postings").count() > 0)
+    assert(metrics.agg(sum($"rows")).as[Long].head() > 0L)
+  }
+}
