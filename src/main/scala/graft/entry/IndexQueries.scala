@@ -1,0 +1,158 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.codec.PostingCodec
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.model.{PostingBlockRow, SourceFile}
+import graft.query.Searcher
+
+/** The flagship surface: the inverted-index + BM25 engine run over the
+  * driver's `documents` table, with full DuckDB SQL oracles — the BM25
+  * score, the lexicon, the doc stats and the decoded postings are each
+  * checked against SQL recomputed from raw text. This pins the ENTIRE build
+  * pipeline (tokenize → invert → salt → encode → merge → lexicon → score)
+  * to an independent implementation.
+  *
+  * docId mapping: the documents table becomes a corpus with repo='corpus'
+  * and path=printf('%09d', doc_id), so the engine's dense lexicographic
+  * docId rank coincides with doc_id order and ties break identically in
+  * both engines. Scores are rounded to 4 decimals on both sides (ulp-level
+  * association differences; ordering uses the rounded value + doc_id).
+  */
+object IndexQueries {
+
+  val Bm25SqlParams = "1.2, 0.75" // k1, b — fixed by BASELINE.json
+
+  def corpusFromDocuments(s: SparkSession, dir: String): Dataset[SourceFile] = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(
+        lit("corpus").as("repo"),
+        format_string("%09d", col("doc_id")).as("path"),
+        lit("0000000000000000000000000000000000000000").as("commit"),
+        col("lang"),
+        col("text").as("content"))
+      .as[SourceFile]
+  }
+
+  /** Per-process index cache: one build per (sfDir) under java.io.tmpdir. */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, IndexConfig]()
+
+  def indexFor(s: SparkSession, dir: String): IndexConfig =
+    cache.computeIfAbsent(dir, _ => {
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_idx$safe"
+      val cfg = IndexConfig(indexDir = idxDir, numShards = 8,
+        heavyDfThreshold = 1000)
+      IndexBuilder.build(s, corpusFromDocuments(s, dir), cfg, fingerprint = dir)
+      cfg
+    })
+
+  /** BM25 over the documents table through the whole index pipeline,
+    * mapped back to doc_id. */
+  def bm25(s: SparkSession, dir: String, query: String, k: Int): DataFrame = {
+    val cfg = indexFor(s, dir)
+    val searcher = new Searcher(s, cfg)
+    val scored = searcher.scoreAll(query).toDF()
+    val docmap = s.read.parquet(cfg.docmapPath)
+      .select(col("docId"), col("path").cast("long").as("doc_id"))
+    scored.join(docmap, "docId")
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** The DuckDB oracle recomputing BM25 from raw text (idf =
+    * ln(1 + (N - df + 0.5)/(df + 0.5)), tf-norm with k1/b, N and avgdl over
+    * ALL docs incl. token-less ones — identical to IndexBuilder). */
+  def bm25OracleSql(terms: Seq[String], k: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, t AS term FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(lower(text),'[^a-z0-9_]+')) AS t
+       |    FROM documents)
+       |  WHERE length(t) BETWEEN 2 AND 64),
+       |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1,2),
+       |dl AS (SELECT d.doc_id, coalesce(x.c,0)::BIGINT AS dl FROM documents d
+       |       LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) x USING (doc_id)),
+       |stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+       |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       |scores AS (
+       |  SELECT tf.doc_id,
+       |    sum(ln(1.0 + (s.n - df.df + 0.5)/(df.df + 0.5)) * 2.2 * tf.tf /
+       |        (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+       |  WHERE tf.term IN ($inList)
+       |  GROUP BY 1)
+       |SELECT doc_id, round(score, 4) AS score FROM scores
+       |ORDER BY round(score, 4) DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // --- BM25 top-k through the full pipeline (two query mixes)
+    "q50_bm25_hash_join" -> ((s, d) => bm25(s, d, "hash join", 20)),
+    "q51_bm25_mixed" -> ((s, d) => bm25(s, d, "window merge customer", 20)),
+
+    // --- lexicon (df) vs SQL recomputation: top-50 by df
+    "q52_index_lexicon" -> ((s, d) => {
+      val cfg = indexFor(s, d)
+      s.read.parquet(cfg.lexiconPath)
+        .select(col("term"), col("df"))
+        .orderBy(col("df").desc, col("term").asc)
+        .limit(50)
+    }),
+
+    // --- docs stage: doc length + sha lineage vs SQL
+    "q53_index_docstats" -> ((s, d) => {
+      val cfg = indexFor(s, d)
+      s.read.parquet(cfg.docsPath)
+        .select(col("path").cast("long").as("doc_id"),
+          col("dl").cast("long").as("dl"), col("sha"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- decoded postings == SQL term frequencies (codec + merge pinned
+    //     end-to-end; restricted to terms starting with 's' to bound rows)
+    "q54_postings_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val cfg = indexFor(s, d)
+      val blocks = s.read.parquet(cfg.postingsPath)
+        .filter(col("term").startsWith("s"))
+        .as[PostingBlockRow]
+      val decoded = blocks.flatMap(b =>
+        PostingCodec.decodeBlock(b.bytes).map(p => (b.term, p.docId, p.tf)))
+        .toDF("term", "docId", "tf")
+      val docmap = s.read.parquet(cfg.docmapPath)
+        .select(col("docId"), col("path").cast("long").as("doc_id"))
+      decoded.join(docmap, "docId")
+        .select(col("term"), col("doc_id"), col("tf").cast("long").as("tf"))
+        .orderBy(col("term"), col("doc_id"))
+    })
+  )
+
+  private val tokensSqlDuck =
+    "SELECT doc_id, t AS term FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text),'[^a-z0-9_]+')) AS t FROM documents) WHERE length(t) BETWEEN 2 AND 64"
+
+  val oracles: Map[String, String] = Map(
+    "q50_bm25_hash_join" -> bm25OracleSql(Seq("hash", "join"), 20),
+    "q51_bm25_mixed" -> bm25OracleSql(Seq("customer", "merge", "window"), 20),
+    "q52_index_lexicon" ->
+      s"""WITH toks AS ($tokensSqlDuck)
+         |SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+         |FROM toks GROUP BY 1 ORDER BY df DESC, term ASC LIMIT 50""".stripMargin,
+    "q53_index_docstats" ->
+      s"""WITH toks AS ($tokensSqlDuck)
+         |SELECT d.doc_id, coalesce(t.n,0)::BIGINT AS dl, sha256(d.text) AS sha
+         |FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1) t
+         |  USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    "q54_postings_roundtrip" ->
+      s"""WITH toks AS ($tokensSqlDuck)
+         |SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks
+         |WHERE term LIKE 's%' GROUP BY 1,2 ORDER BY term, doc_id""".stripMargin
+  )
+}

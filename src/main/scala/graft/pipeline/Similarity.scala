@@ -1,0 +1,125 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * array<float>, label).
+  *
+  * - `q40_knn_bruteforce`: exact cosine top-k for a fixed probe set, as a
+  *   declarative plan: per-pair dot/norm via `zip_with` + `aggregate`
+  *   (sequential left-fold ⇒ deterministic Double results, matching the
+  *   DuckDB oracle's list_* functions on DOUBLE[] element-for-element).
+  * - `q41_knn_lsh`: random-hyperplane LSH ANN — deterministic planes from
+  *   splitmix64, bucket join then exact re-rank inside buckets. The scale
+  *   path: candidate generation is a hash-bucket equi-join instead of a
+  *   cartesian product. No SQL oracle (plane generation is not reasonably
+  *   SQL-expressible); recall vs brute force is pinned in SimilaritySpec.
+  *
+  * Scale notes: brute force is O(Q×N) with Q the (small) probe set —
+  * broadcast the probes, never the corpus; LSH buckets bound candidate
+  * pairs. At 100 TB the same shapes hold with the probe set broadcast and
+  * buckets salted if skewed.
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/embeddings.parquet")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val NumProbes = 5
+  val TopK = 10
+  val LshTables = 8
+  val LshBits = 4
+
+  private def dotCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  val queries: Map[String, Q] = Map(
+    "q40_knn_bruteforce" -> ((s, d) => {
+      val e = emb(s, d)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val probes = broadcast(e.filter(col("vec_id") < NumProbes)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")))
+      val pairs = probes.crossJoin(e.filter(col("vec_id") >= NumProbes))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(dotCol(col("qv"), col("v")) /
+            (sqrt(dotCol(col("qv"), col("qv"))) * sqrt(dotCol(col("v"), col("v")))),
+            4).as("cos"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      pairs.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= TopK)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    "q41_knn_lsh" -> ((s, d) => {
+      import s.implicits._
+      // multi-table random-hyperplane LSH: L independent tables of B bits;
+      // a vector lands in L buckets, candidates = union over tables — the
+      // standard recall/cost dial (more tables ⇒ higher recall)
+      val dim = 64; val nTables = LshTables; val nBits = LshBits
+      val planes: Array[Array[Array[Double]]] = Array.tabulate(nTables) { t =>
+        Array.tabulate(nBits) { p =>
+          Array.tabulate(dim) { i =>
+            val x = graft.corpus.CorpusGen.splitmix64(
+              (t.toLong * 131 + p).toLong * 7919 + i + 42)
+            (x >>> 11).toDouble / (1L << 53).toDouble - 0.5
+          }
+        }
+      }
+      val planesB = s.sparkContext.broadcast(planes)
+      val e = emb(s, d).select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      // one row per (vector, table): bucket = table * 2^B + sig
+      val sigs = e.flatMap { case (id, v) =>
+        val pls = planesB.value
+        (0 until nTables).map { t =>
+          var sig = 0
+          var p = 0
+          while (p < nBits) {
+            var dot = 0.0; var i = 0
+            val pl = pls(t)(p)
+            while (i < v.length && i < dim) { dot += pl(i) * v(i); i += 1 }
+            if (dot > 0) sig |= (1 << p)
+            p += 1
+          }
+          (id, t * (1 << nBits) + sig, v.map(_.toDouble))
+        }
+      }.toDF("vec_id", "bucket", "v")
+      val probes = broadcast(sigs.filter(col("vec_id") < NumProbes)
+        .select(col("vec_id").as("query_id"), col("bucket"), col("v").as("qv")))
+      val cands = probes.join(sigs.filter(col("vec_id") >= NumProbes), "bucket")
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("qv"), col("v"))
+        .dropDuplicates("query_id", "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          round(dotCol(col("qv"), col("v")) /
+            (sqrt(dotCol(col("qv"), col("qv"))) * sqrt(dotCol(col("v"), col("v")))),
+            4).as("cos"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      cands.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= TopK)
+        .orderBy(col("query_id"), col("rk"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q40_knn_bruteforce" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |probes AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumProbes),
+         |pairs AS (
+         |  SELECT p.query_id, e.vec_id AS neighbor_id,
+         |    round(list_dot_product(p.qv, e.v) /
+         |      (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(e.v, e.v))), 4) AS cos
+         |  FROM probes p CROSS JOIN e WHERE e.vec_id >= $NumProbes),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)::BIGINT AS rk
+         |  FROM pairs)
+         |SELECT query_id, neighbor_id, cos, rk FROM ranked
+         |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
+    // q41_knn_lsh: rows-only check; recall pinned in SimilaritySpec
+  )
+}

@@ -1,0 +1,465 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational parity surface: the reference's operator inventory
+  * (SURVEY.md §2 — scans, filters, projections, hash/NL joins, semi/anti
+  * joins, hash & distinct aggregation, HAVING, sorts, top-k, limit/offset,
+  * set ops, scalar/string/date functions, subqueries) exercised as
+  * declarative Spark plans over the driver's TPC-H-ish parquet tables, each
+  * with an ANSI-SQL DuckDB oracle.
+  *
+  * Conventions that make the driver's hash-compare deterministic:
+  *   - every query has a total ORDER BY (unique key suffix);
+  *   - computed integers are BIGINT on both sides (DuckDB sum(int) is
+  *     HUGEINT and year()/length() are BIGINT — cast explicitly);
+  *   - double aggregates are rounded (sum/avg to 2/4 decimals) since
+  *     summation order differs between engines; per-row arithmetic is left
+  *     exact (bit-identical in IEEE754);
+  *   - ORDER BY on nullable keys says NULLS FIRST explicitly (Spark's asc
+  *     default) since DuckDB defaults to NULLS LAST.
+  *
+  * Scale notes: filters/projections push into the parquet scan (Catalyst);
+  * small dims (region/nation/supplier) broadcast; the only large shuffles
+  * are the lineitem-side joins/aggregations, which shuffle on their keys as
+  * they must. Verified via .explain in QueryPlanSpec.
+  */
+object TpchQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // --- scan → filter → hash agg → sort (TPC-H Q1 shape; reference
+    //     compiler_test.cpp:3286 runs Q1 as its flagship golden test)
+    "q01_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // --- filter + projection with per-row arithmetic (exact, no rounding
+    //     reorder risk) pushed to the scan
+    "q02_filter_project" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_quantity") < lit(10.0))
+        // per-row IEEE arithmetic is bit-identical cross-engine — no round
+        // (round() itself diverges on exact .xx5 ties: Java HALF_UP on the
+        // decimal string vs DuckDB rounding the binary value)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        // (l_orderkey, l_linenumber) is NOT unique in this dataset — revenue
+        // completes the total order for cross-engine row-order stability
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("revenue"))
+    }),
+
+    // --- hash join + agg (orders ⋈ customer)
+    "q03_join_agg" -> ((s, d) => {
+      val o = t(s, d, "orders"); val c = t(s, d, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // --- multi-way join through broadcast-able dims
+    "q04_multi_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val n = t(s, d, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice")), 2).as("volume"))
+        .orderBy(col("n_name"))
+    }),
+
+    // --- small-dim star join (all broadcast)
+    "q05_dim_join" -> ((s, d) => {
+      val c = t(s, d, "customer"); val n = t(s, d, "nation"); val r = t(s, d, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // --- semi join (EXISTS; reference LogicalSemiJoin logical_operators.h:624)
+    "q06_semi_join" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 100000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // --- anti join (NOT EXISTS)
+    "q07_anti_join" -> ((s, d) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // --- top-k: Catalyst plans TakeOrderedAndProject (terrier's fused
+    //     sort+limit heap, sorter.cpp:33-98)
+    "q08_topk" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // --- sort + limit + offset (limit_plan_node.h:16-65)
+    "q09_limit_offset" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+        .offset(10).limit(20)
+    }),
+
+    // --- SELECT DISTINCT (rewritten to group-by in the reference,
+    //     query_to_operator_transformer.cpp:105-118)
+    "q10_distinct" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus")).distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // --- HAVING over hash agg
+    "q11_having" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .filter(col("n") >= 40)
+        .orderBy(col("l_partkey"))
+    }),
+
+    // --- DISTINCT aggregates (aggregate_util.h:96,219)
+    "q12_distinct_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // --- CASE / NULLIF / COALESCE (expression_defs.h:65-67)
+    "q13_case_expr" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderstatus") === "F", lit("finished"))
+            .when(col("o_orderstatus") === "O", lit("open"))
+            .otherwise(lit("other")).as("status_word"),
+          coalesce(nullif(col("o_orderstatus"), lit("P")), lit("was_p")).as("np"))
+        .groupBy(col("status_word"), col("np"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("status_word"), col("np"))
+    }),
+
+    // --- scalar math functions (arithmetic_functions.h:21-236)
+    "q14_scalar_math" -> ((s, d) => {
+      t(s, d, "orders").filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey"),
+          abs(col("o_totalprice") * lit(-1.0)).as("abs_price"),
+          ceil(col("o_totalprice")).cast("long").as("ceil_price"),
+          floor(col("o_totalprice")).cast("long").as("floor_price"),
+          round(sqrt(col("o_totalprice")), 6).as("sqrt_price"),
+          round(log(col("o_totalprice")), 6).as("ln_price"),
+          signum(col("o_totalprice") - lit(50000.0)).as("sign_mid"),
+          (col("o_orderkey") % 7).as("mod7"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // --- string functions (string_functions.h:26-124)
+    "q15_string_fns" -> ((s, d) => {
+      t(s, d, "part").filter(col("p_partkey") < 100)
+        .select(col("p_partkey"),
+          lower(col("p_type")).as("lo"),
+          upper(col("p_name")).as("up"),
+          substring(col("p_name"), 1, 4).as("sub4"),
+          length(col("p_name")).cast("long").as("len"),
+          reverse(col("p_brand")).as("rev"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("padded"),
+          split_part(col("p_name"), lit(" "), lit(1)).as("first_word"),
+          concat(col("p_brand"), lit(":"), col("p_type")).as("cat"),
+          trim(lit("  x  ")).as("trimmed"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // --- date/time extraction (reference exposes only ExtractYear,
+    //     builtins.h:26 — we cover the family)
+    "q16_date_fns" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"))
+        .groupBy(col("yr"), col("mo"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("yr"), col("mo"))
+    }),
+
+    // --- IN (subquery) → mark join → semi join (unnesting_rules.h:18)
+    "q17_in_subquery" -> ((s, d) => {
+      val o = t(s, d, "orders"); val c = t(s, d, "customer")
+      val rich = c.filter(col("c_acctbal") > 4500.0).select(col("c_custkey"))
+      o.join(rich, o("o_custkey") === rich("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // --- scalar subquery (LogicalSingleJoin logical_operators.h:434);
+    //     max() is order-insensitive → exact cross-engine compare
+    "q18_scalar_subquery" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val mx = o.agg(max(col("o_totalprice")).as("mx"))
+      o.crossJoin(broadcast(mx))
+        .filter(col("o_totalprice") > col("mx") * 0.95)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // --- set operations (reference has dead SetOp plan nodes only,
+    //     set_op_plan_node.h — Spark gives the full family)
+    "q19_union" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      c.filter(col("c_acctbal") < 500.0).select(col("c_custkey"))
+        .union(c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey")))
+        .distinct().orderBy(col("c_custkey"))
+    }),
+    "q20_intersect" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      c.filter(col("c_acctbal") > 1000.0).select(col("c_custkey"))
+        .intersect(c.filter(col("c_mktsegment") === "MACHINERY").select(col("c_custkey")))
+        .orderBy(col("c_custkey"))
+    }),
+    "q21_except" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      c.select(col("c_custkey"))
+        .except(c.filter(col("c_acctbal") > 1000.0).select(col("c_custkey")))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // --- window: rank within group (absent in the reference, §2.5 — Spark
+    //     superset, used by our pipelines)
+    "q22_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t(s, d, "customer")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("c_mktsegment"), col("rk"), col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_mktsegment"), col("rk"))
+    }),
+
+    // --- window: running sum (frame order fixed ⇒ exact doubles both sides)
+    "q23_window_running" -> ((s, d) => {
+      // (l_orderkey, l_linenumber) is not unique — extend the frame order
+      // with quantity and price so the running sum is engine-independent
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "lineitem").filter(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          sum(col("l_quantity")).over(w).as("running_qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("running_qty"))
+    }),
+
+    // --- theta (non-equi) nested-loop join (physical_operators.h:483)
+    "q24_theta_join" -> ((s, d) => {
+      val n1 = t(s, d, "nation").select(col("n_name").as("a"), col("n_regionkey").as("ra"))
+      val n2 = t(s, d, "nation").select(col("n_name").as("b"), col("n_regionkey").as("rb"))
+      n1.join(n2, col("ra") === col("rb") && col("a") < col("b"))
+        .select(col("a"), col("b"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // --- time-bucketed aggregation over the events table (batch analogue
+    //     of a tumbling window)
+    "q25_events_hourly" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .orderBy(col("hr"), col("event_type"))
+    }),
+
+    // --- JSON extraction from the events props column
+    "q26_json_extract" -> ((s, d) => {
+      t(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k") >= 50)
+        .orderBy(col("event_id"))
+    }),
+
+    // --- rollup (grouping sets; beyond the reference, §2.4)
+    "q27_rollup" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity),2) AS sum_qty,
+        |  round(sum(l_extendedprice),2) AS sum_base_price,
+        |  round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+        |  round(avg(l_quantity),4) AS avg_qty,
+        |  round(avg(l_discount),4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice*(1.0-l_discount) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity < 10.0
+        |ORDER BY l_orderkey, l_linenumber, revenue""".stripMargin,
+    "q03_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice),2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q04_multi_join" ->
+      """SELECT n_name, count(*) AS n_lines,
+        |  round(sum(l_extendedprice),2) AS volume
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q05_dim_join" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  round(sum(c_acctbal),2) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q06_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q08_topk" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q09_limit_offset" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |ORDER BY o_orderkey LIMIT 20 OFFSET 10""".stripMargin,
+    "q10_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY 1,2""".stripMargin,
+    "q11_having" ->
+      """SELECT l_partkey, count(*) AS n, round(sum(l_quantity),2) AS qty
+        |FROM lineitem GROUP BY 1 HAVING count(*) >= 40
+        |ORDER BY l_partkey""".stripMargin,
+    "q12_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_case_expr" ->
+      """SELECT CASE WHEN o_orderstatus='F' THEN 'finished'
+        |  WHEN o_orderstatus='O' THEN 'open' ELSE 'other' END AS status_word,
+        |  coalesce(nullif(o_orderstatus,'P'),'was_p') AS np, count(*) AS n
+        |FROM orders GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q14_scalar_math" ->
+      """SELECT o_orderkey, abs(o_totalprice*-1.0) AS abs_price,
+        |  CAST(ceil(o_totalprice) AS BIGINT) AS ceil_price,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS floor_price,
+        |  round(sqrt(o_totalprice),6) AS sqrt_price,
+        |  round(ln(o_totalprice),6) AS ln_price,
+        |  sign(o_totalprice - 50000.0) AS sign_mid,
+        |  o_orderkey % 7 AS mod7
+        |FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""".stripMargin,
+    "q15_string_fns" ->
+      """SELECT p_partkey, lower(p_type) AS lo, upper(p_name) AS up,
+        |  substring(p_name,1,4) AS sub4, CAST(length(p_name) AS BIGINT) AS len,
+        |  reverse(p_brand) AS rev, lpad(CAST(p_partkey AS VARCHAR),8,'0') AS padded,
+        |  split_part(p_name,' ',1) AS first_word,
+        |  p_brand || ':' || p_type AS cat, trim('  x  ') AS trimmed
+        |FROM part WHERE p_partkey < 100 ORDER BY p_partkey""".stripMargin,
+    "q16_date_fns" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo, count(*) AS n
+        |FROM orders GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q17_in_subquery" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 4500.0)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q18_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) * 0.95
+        |ORDER BY o_orderkey""".stripMargin,
+    "q19_union" ->
+      """SELECT DISTINCT c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_acctbal < 500.0
+        |  UNION ALL
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') u
+        |ORDER BY c_custkey""".stripMargin,
+    "q20_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 1000.0
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        |ORDER BY c_custkey""".stripMargin,
+    "q21_except" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 1000.0
+        |ORDER BY c_custkey""".stripMargin,
+    "q22_window_rank" ->
+      """SELECT c_mktsegment, rk, c_custkey, c_acctbal FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS rk
+        |  FROM customer) x
+        |WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin,
+    "q23_window_running" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  sum(l_quantity) OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_quantity, l_extendedprice
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem WHERE l_orderkey < 200
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, running_qty""".stripMargin,
+    "q24_theta_join" ->
+      """SELECT n1.n_name AS a, n2.n_name AS b
+        |FROM nation n1 JOIN nation n2
+        |  ON n1.n_regionkey = n2.n_regionkey AND n1.n_name < n2.n_name
+        |ORDER BY a, b""".stripMargin,
+    "q25_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n,
+        |  round(sum(value),2) AS total
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q26_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |FROM events WHERE CAST(json_extract_string(props,'$.k') AS BIGINT) >= 50
+        |ORDER BY event_id""".stripMargin,
+    "q27_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+  )
+}

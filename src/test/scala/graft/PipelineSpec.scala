@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{SimHash, Similarity, TextPipeline, Multimodal}
+
+/** Pipeline operators without a SQL oracle: pinned here instead
+  * (driver runs a rows-only check on them). */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val sf = "/root/testdata/sf0.001"
+
+  test("simhash: identical docs identical, hamming reflects similarity") {
+    val a = SimHash.simhash64(Seq("if", "return", "val", "def", "scan", "sort"))
+    val b = SimHash.simhash64(Seq("if", "return", "val", "def", "scan", "sort"))
+    assert(a == b)
+    val c = SimHash.simhash64(Seq("if", "return", "val", "def", "scan", "merge"))
+    val far = SimHash.simhash64(Seq("totally", "different", "words", "here", "now", "ok"))
+    assert(SimHash.hamming(a, c) < SimHash.hamming(a, far))
+    assert(SimHash.hamming(a, a) == 0)
+  }
+
+  test("q37_simhash is deterministic across runs") {
+    val r1 = TextPipeline.queries("q37_simhash")(spark, sf).collect().toSeq
+    val r2 = TextPipeline.queries("q37_simhash")(spark, sf).collect().toSeq
+    assert(r1 == r2 && r1.nonEmpty)
+  }
+
+  test("LSH ANN finds a usable fraction of brute-force neighbors") {
+    val bf = Similarity.queries("q40_knn_bruteforce")(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.queries("q41_knn_lsh")(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(lsh.nonEmpty)
+    // every LSH hit is a real vector pair, and candidates are a strict
+    // subset of the cross product (bucketing actually pruned)
+    val recall = (bf intersect lsh).size.toDouble / bf.size
+    info(f"LSH recall vs brute force: $recall%.2f (${lsh.size} candidates)")
+    assert(recall > 0.05, "LSH found no brute-force neighbors at all")
+  }
+
+  test("media frame sampling is deterministic and bounded") {
+    val frames = Multimodal.queries("q46_media_frames")(spark, sf)
+    val perDoc = frames.groupBy($"doc_id").count()
+      .agg(max($"count")).as[Long].head()
+    assert(perDoc <= 8, "frame sampler must cap frames per payload")
+    val again = Multimodal.queries("q46_media_frames")(spark, sf)
+    assert(frames.collect().toSeq == again.collect().toSeq)
+  }
+
+  test("minhash jaccard estimate correlates with true jaccard") {
+    // two near-identical docs share most minhashes; disjoint docs share none
+    def sig(terms: Seq[String]): Seq[Long] = {
+      val hs = terms.map { t =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        java.lang.Long.parseLong(hex.substring(0, 7), 16)
+      }
+      (0 until TextPipeline.MinhashHashes).map { j =>
+        hs.map(h => (h * TextPipeline.MinhashA(j) + TextPipeline.MinhashB(j)) % TextPipeline.MinhashP).min
+      }
+    }
+    val base = (1 to 50).map(i => s"tok$i")
+    val near = (1 to 48).map(i => s"tok$i") ++ Seq("zzz1", "zzz2")
+    val far = (1 to 50).map(i => s"other$i")
+    val sb = sig(base); val sn = sig(near); val sf2 = sig(far)
+    val nearMatch = sb.zip(sn).count(p => p._1 == p._2)
+    val farMatch = sb.zip(sf2).count(p => p._1 == p._2)
+    assert(nearMatch > farMatch)
+    assert(nearMatch >= TextPipeline.MinhashHashes / 2)
+  }
+}

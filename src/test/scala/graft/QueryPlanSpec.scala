@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.relational.TpchQueries
+
+/** Physical-plan shape assertions: correctness tests prove the small-SF
+  * answer; these prove the plan would survive a 100× scale-up — filters
+  * reach the parquet scan, column pruning works, small dims broadcast,
+  * top-k plans as TakeOrderedAndProject (never a global sort), and
+  * aggregations are partial (map-side combine) before the shuffle. */
+class QueryPlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    TpchQueries.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02: filter is pushed to the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters:") &&
+      (p.contains("IsNotNull(l_shipdate)") || p.contains("GreaterThanOrEqual(l_shipdate")),
+      s"no pushdown in:\n$p")
+  }
+
+  test("q02: column pruning — scan reads only needed columns, not all 11") {
+    val p = plan("q02_filter_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"),
+      s"scan not pruned: $readSchema")
+  }
+
+  test("q04: small dimension join broadcasts") {
+    val p = plan("q04_multi_join")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
+  test("q06: semi join planned as a join, not a subquery re-scan") {
+    val p = plan("q06_semi_join")
+    assert(p.contains("LeftSemi"), s"no semi join in:\n$p")
+  }
+
+  test("q08: top-k plans as TakeOrderedAndProject (bounded heap, no global sort)") {
+    val p = plan("q08_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not fused:\n$p")
+  }
+
+  test("q01: aggregation is two-phase (map-side partial before shuffle)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"no partial agg in:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final HashAggregate:\n$p")
+  }
+
+  test("q01: whole-stage codegen covers the agg pipeline") {
+    // AQE only materializes the final plan (with codegen spans) on execution
+    val df = TpchQueries.queries("q01_pricing_summary")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // formatted mode marks codegen'd operators with "[codegen id : N]"
+    assert(p.contains("codegen id"), s"no codegen spans:\n$p")
+    // the scan→filter→project→partial-agg pipeline shares one codegen span
+    assert(p.contains("(3) Filter [codegen id : 1]") ||
+      "codegen id : 1".r.findAllIn(p).size >= 3, s"codegen span too narrow:\n$p")
+  }
+}
