@@ -1,24 +1,82 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.entry.IndexQueries
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.query.Searcher
+
+/** Driver-run benchmark: one JSON line with total seconds + per-query
+  * seconds on SPARK_GRAFT_SF_DIR. Also reports index-build throughput
+  * (corpus GB/hour, the BASELINE.json headline metric) and BM25 top-k
+  * latency percentiles over the frozen query set as extra top-level keys.
+  */
 object Bench {
+
+  /** Frozen reference query set (FIXTURES.md §1): rare/common/absent mixes,
+    * 1-4 terms, incl. all-heavy-hitter queries. */
+  val QuerySet: Seq[String] = Seq(
+    "hash join", "window merge", "customer order", "scan sort merge agg",
+    "the fast", "slow batch value", "table row filter", "key order",
+    "group query row data", "stream customer", "vector column",
+    "part window small", "data group sort", "join filter window row",
+    "agg line group hash", "small hash scan join", "fast column table",
+    "merge part", "query order join small", "line batch")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def secs(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // 1) index build over the sf documents corpus, cold (fresh dir)
+    val corpus = IndexQueries.corpusFromDocuments(spark, sfDir)
+    val corpusBytes = corpus.toDF()
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("content"))))
+      .head().getLong(0)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-bench-idx").toString
+    val cfg = IndexConfig(indexDir = idxDir, numShards = cpus.toInt,
+      heavyDfThreshold = 1000, buildPartitions = cpus.toInt)
+    val tBuild = secs { IndexBuilder.build(spark, corpus, cfg, "bench") }
+    val gbPerHour = (corpusBytes / 1e9) / (tBuild / 3600.0)
+
+    // 2) BM25 top-10 latency over the frozen query set (block-max WAND)
+    val searcher = new Searcher(spark, cfg)
+    searcher.searchWAND(QuerySet.head, 10) // warm
+    val lats = QuerySet.map(q => secs { searcher.searchWAND(q, 10) } * 1000.0)
+    val sorted = lats.sorted
+    val p50 = sorted(sorted.length / 2)
+    val p95 = sorted(math.min(sorted.length - 1, (sorted.length * 95) / 100))
+
+    // 3) headline queries across the surface
+    val heads = Seq(
+      "q01_pricing_summary", "q04_multi_join", "q08_topk", "q12_distinct_agg",
+      "q22_window_rank", "q25_events_hourly", "q30_token_stats",
+      "q33_exact_dedup", "q35_minhash_pairs", "q36_ngram_jaccard",
+      "q40_knn_bruteforce", "q41_knn_lsh", "q50_bm25_hash_join",
+      "q52_index_lexicon", "q54_postings_roundtrip")
+    val results: Seq[(String, Double)] =
+      Seq("index_build" -> tBuild) ++ heads.map { name =>
+        val fn = SparkEntry.queries(name)
+        name -> secs { fn(spark, sfDir).count() }
+      } ++ Seq("bm25_p50_query" -> p50 / 1000.0)
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","gb_per_hour":$gbPerHour%.3f,"bm25_p50_ms":$p50%.2f,"bm25_p95_ms":$p95%.2f,"corpus_bytes":$corpusBytes,"cpus":$cpus}""")
     spark.stop()
   }
 }

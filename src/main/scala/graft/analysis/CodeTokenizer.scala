@@ -52,20 +52,130 @@ object CodeTokenizer {
   }
 
   /** Term-frequency map of `content` plus the document length (token count).
-    * Single pass; the hot path of the inversion stage. */
+    * Single pass via TokenCounter: allocates one String per DISTINCT term
+    * (not per occurrence) — tokenization is the engine's hottest path and
+    * allocation rate is what limits thread scaling in a shared JVM. */
   def termFreqs(content: String): (mutable.HashMap[String, Int], Int) = {
-    val tf = new mutable.HashMap[String, Int]()
-    var dl = 0
-    val toks = tokenize(content)
-    val it = toks.iterator
-    while (it.hasNext) {
-      val t = it.next()
-      dl += 1
-      tf.update(t, tf.getOrElse(t, 0) + 1)
-    }
-    (tf, dl)
+    val (c, dl) = termFreqsRaw(content)
+    (c.toMap, dl)
   }
 
-  /** Token count only (document length). */
-  def docLength(content: String): Int = tokenize(content).length
+  /** Allocation-lean variant: exposes the counter directly. */
+  def termFreqsRaw(content: String): (TokenCounter, Int) = {
+    val counter = new TokenCounter
+    val dl = scan(content, counter)
+    (counter, dl)
+  }
+
+  /** Token count only (document length); allocation-free. */
+  def docLength(content: String): Int = scan(content, null)
+
+  /** Core scan: counts kept tokens; if `counter` non-null, also tallies
+    * term frequencies without allocating per-occurrence Strings. */
+  private def scan(content: String, counter: TokenCounter): Int = {
+    val n = content.length
+    val buf = new Array[Char](MaxLen + 1)
+    var len = 0
+    var dl = 0
+    var i = 0
+    while (i <= n) {
+      val c = if (i < n) content.charAt(i) else ' '
+      if (isTokenChar(c)) {
+        if (len <= MaxLen) { // overlong tokens: stop copying, keep counting
+          if (len < MaxLen + 1) buf(len) = toLowerAscii(c)
+        }
+        len += 1
+      } else if (len > 0) {
+        if (len >= MinLen && len <= MaxLen) {
+          dl += 1
+          if (counter != null) counter.add(buf, len)
+        }
+        len = 0
+      }
+      i += 1
+    }
+    dl
+  }
+}
+
+/** Open-addressing token counter keyed by (char[], len) content: probes
+  * without materializing a String; allocates a String key only when a term
+  * is first seen. Cuts per-document garbage by the average tf factor. */
+final class TokenCounter {
+  private var cap = 64
+  private var keys = new Array[String](cap)
+  private var counts = new Array[Int](cap)
+  private var used = 0
+
+  private def hashOf(buf: Array[Char], len: Int): Int = {
+    var h = 0
+    var i = 0
+    while (i < len) { h = h * 31 + buf(i); i += 1 }
+    h
+  }
+
+  private def eq(k: String, buf: Array[Char], len: Int): Boolean = {
+    if (k.length != len) return false
+    var i = 0
+    while (i < len) { if (k.charAt(i) != buf(i)) return false; i += 1 }
+    true
+  }
+
+  private def grow(): Unit = {
+    val ok = keys; val oc = counts
+    cap <<= 1
+    keys = new Array[String](cap)
+    counts = new Array[Int](cap)
+    used = 0
+    var i = 0
+    while (i < ok.length) {
+      if (ok(i) != null) insert(ok(i), oc(i))
+      i += 1
+    }
+  }
+
+  private def insert(k: String, c: Int): Unit = {
+    var idx = (k.hashCode & 0x7fffffff) & (cap - 1)
+    while (keys(idx) != null) idx = (idx + 1) & (cap - 1)
+    keys(idx) = k; counts(idx) = c; used += 1
+  }
+
+  def add(buf: Array[Char], len: Int): Unit = {
+    if (used * 2 >= cap) grow()
+    var idx = (hashOf(buf, len) & 0x7fffffff) & (cap - 1)
+    while (true) {
+      val k = keys(idx)
+      if (k == null) {
+        keys(idx) = new String(buf, 0, len)
+        counts(idx) = 1
+        used += 1
+        return
+      } else if (eq(k, buf, len)) {
+        counts(idx) += 1
+        return
+      }
+      idx = (idx + 1) & (cap - 1)
+    }
+  }
+
+  def toMap: mutable.HashMap[String, Int] = {
+    val m = new mutable.HashMap[String, Int]()
+    m.sizeHint(used)
+    var i = 0
+    while (i < cap) {
+      if (keys(i) != null) m.update(keys(i), counts(i))
+      i += 1
+    }
+    m
+  }
+
+  def foreach(f: (String, Int) => Unit): Unit = {
+    var i = 0
+    while (i < cap) {
+      if (keys(i) != null) f(keys(i), counts(i))
+      i += 1
+    }
+  }
+
+  def size: Int = used
 }

@@ -56,7 +56,7 @@ object IndexQueries {
     val cfg = indexFor(s, dir)
     val searcher = new Searcher(s, cfg)
     val scored = searcher.scoreAll(query).toDF()
-    val docmap = s.read.parquet(cfg.docmapPath)
+    val docmap = s.read.parquet(cfg.docsPath)
       .select(col("docId"), col("path").cast("long").as("doc_id"))
     scored.join(docmap, "docId")
       .select(col("doc_id"), round(col("score"), 4).as("score"))
@@ -126,7 +126,7 @@ object IndexQueries {
       val decoded = blocks.flatMap(b =>
         PostingCodec.decodeBlock(b.bytes).map(p => (b.term, p.docId, p.tf)))
         .toDF("term", "docId", "tf")
-      val docmap = s.read.parquet(cfg.docmapPath)
+      val docmap = s.read.parquet(cfg.docsPath)
         .select(col("docId"), col("path").cast("long").as("doc_id"))
       decoded.join(docmap, "docId")
         .select(col("term"), col("doc_id"), col("tf").cast("long").as("tf"))

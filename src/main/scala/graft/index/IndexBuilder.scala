@@ -1,7 +1,7 @@
 package graft.index
 
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.CollectionAccumulator
 
@@ -32,12 +32,43 @@ final case class IndexConfig(
     heavyDfThreshold: Long = 100000L,
     maxHeavyTerms: Int = 4096,
     buildPartitions: Int = 0) {
-  def docmapPath: String = s"$indexDir/docmap"
+  def forwardPath: String = s"$indexDir/forward"
   def docsPath: String = s"$indexDir/docs"
   def postingsPath: String = s"$indexDir/postings"
   def lexiconPath: String = s"$indexDir/lexicon"
   def metricsPath: String = s"$indexDir/metrics"
 }
+
+/** A tokenized document before rank assignment. `terms`/`tfs` are parallel
+  * arrays (term -> tf); `dl` = total token count; `sha` = sha2(content, 256),
+  * the lineage invariant vs the source table. */
+final case class PreDoc(
+    repo: String,
+    path: String,
+    commit: String,
+    lang: String,
+    dl: Int,
+    sha: String,
+    terms: Array[String],
+    tfs: Array[Int])
+
+/** One stored row of the forward index. The global docId is NOT stored —
+  * it is (offset(pid) + localIdx), with per-partition offsets in the
+  * manifest: rows are range-partitioned and sorted by the unique key
+  * (repo, path, commit), so that sum is exactly the dense lexicographic
+  * rank, independent of partition count (rank-identity across parallelism,
+  * SURVEY.md §7.5). */
+final case class ForwardRow(
+    pid: Int,
+    localIdx: Long,
+    repo: String,
+    path: String,
+    commit: String,
+    lang: String,
+    dl: Int,
+    sha: String,
+    terms: Array[String],
+    tfs: Array[Int])
 
 /** Per-partition build metrics row (the reference records per-pipeline
   * operating-unit features for its self-driving models, brain_defs.h:5-44;
@@ -55,35 +86,41 @@ final case class PartitionMetric(
   * Stages (each checkpointed in manifest.json; resume skips completed stages
   * whose input fingerprint matches):
   *
-  *   1. docmap   — global dense docId = lexicographic rank of the unique key
-  *                 (repo, path, commit). Keys-only scan (content column is
-  *                 pruned at the parquet reader), distributed sort +
-  *                 zipWithIndex. This is the single place the engine drops to
-  *                 the RDD API: a dense global rank needs the
-  *                 sort-then-offset scheme, and RDD.zipWithIndex reuses the
-  *                 materialized shuffle output for both of its internal
-  *                 passes, which Dataset-level re-execution does not
-  *                 guarantee (SURVEY.md §7.5 documents this decision).
-  *   2. docs     — corpus ⋈ docmap, tokenize once per document for dl
-  *                 (BM25 doc length) + sha2(content,256) lineage column.
-  *   3. postings — corpus ⋈ docmap, invert to (term, docId, tf, dl); detect
-  *                 heavy terms (df > threshold) with a map-side-combined
-  *                 count; repartition by (term, salt) where salt = docId
-  *                 shard for heavy terms and 0 otherwise; sort within
-  *                 partitions by (term, salt, docId); stream-encode
-  *                 delta+VByte blocks with block-max metadata.
+  *   1. forward  — ONE pass over corpus content: global sort by the unique
+  *                 key (repo, path, commit), dense docId = rank, tokenize
+  *                 once, write the forward index (docId, metadata, dl, sha,
+  *                 terms[], tfs[]). Content is touched and shuffled exactly
+  *                 once in the whole build; every later stage reads the
+  *                 (smaller, columnar) forward table with column pruning.
+  *                 This is the single place the engine drops to the RDD
+  *                 API: a dense global rank needs sort+zipWithIndex, whose
+  *                 two internal passes reuse one materialized shuffle —
+  *                 Dataset-level re-execution does not guarantee that
+  *                 (SURVEY.md §7.5 documents this decision).
+  *   2. docs     — pure projection of forward (terms/tfs columns pruned at
+  *                 the parquet reader): per-doc metadata + BM25 norms.
+  *   3. postings — explode forward into (term, docId, tf, dl); detect heavy
+  *                 terms (df > threshold) with a map-side-combined count
+  *                 over the pruned terms column; repartition by (term, salt)
+  *                 where salt = docId shard for heavy terms, 0 otherwise;
+  *                 sort within partitions by (term, salt, docId);
+  *                 stream-encode delta+VByte blocks with block-max metadata.
   *   4. lexicon  — per-term stats (df, cf, nBlocks, maxTfNorm) aggregated
-  *                 from block metadata, plus corpus stats (N, avgdl).
+  *                 from block metadata.
   *
-  * Scale notes (100 TB / 1000 executors): the only content-bearing shuffles
-  * are the two corpus⋈docmap joins (docmap carries keys only, a few % of
-  * corpus bytes); postings shuffle moves (term, docId, tf, dl) tuples —
-  * bounded by token count, not content bytes; every stage streams
+  * Scale notes (100 TB / 1000 executors): content bytes cross the network
+  * once (the stage-1 sort); the postings shuffle moves (term, docId, tf, dl)
+  * tuples — bounded by token count, not content bytes; every stage streams
   * iterator-to-iterator (no per-term materialization of full posting lists);
   * heavy-term salting bounds any single reducer's input at roughly
   * df/numShards postings.
   */
 object IndexBuilder {
+
+  /** Bumped whenever the on-disk index layout or stage semantics change:
+    * part of every stage fingerprint, so resume never reuses output written
+    * by an incompatible builder version. */
+  val FormatVersion = 2
 
   @inline def shardOf(docId: Long, numDocs: Long, numShards: Int): Int = {
     val s = ((docId * numShards) / math.max(numDocs, 1L)).toInt
@@ -102,92 +139,107 @@ object IndexBuilder {
       cfg: IndexConfig, fingerprint: String = ""): CorpusStats = {
     import spark.implicits._
     val manifest = new Manifest(cfg.indexDir)
-    val fp = if (fingerprint.nonEmpty) fingerprint else "corpus"
+    val fp = s"v$FormatVersion:" +
+      (if (fingerprint.nonEmpty) fingerprint else "corpus")
     val parts =
       if (cfg.buildPartitions > 0) cfg.buildPartitions
       else spark.sparkContext.defaultParallelism
     val metricsAcc: CollectionAccumulator[PartitionMetric] =
       spark.sparkContext.collectionAccumulator[PartitionMetric]("graft.metrics")
 
-    // ---- stage 1: docmap --------------------------------------------------
-    if (!manifest.isComplete("docmap", fp)) {
+    // ---- stage 1: forward index -------------------------------------------
+    if (!manifest.isComplete("forward", fp)) {
       val t0 = System.nanoTime()
-      val ranked = corpus
-        .select($"repo", $"path", $"commit")
-        .as[(String, String, String)]
-        .rdd
-        .sortBy(identity, ascending = true, numPartitions = parts)
-        .zipWithIndex()
-        .map { case ((repo, path, commit), docId) =>
-          DocMapEntry(docId, repo, path, commit) }
-        .toDS()
-      ranked.write.mode("overwrite").parquet(cfg.docmapPath)
-      val n = spark.read.parquet(cfg.docmapPath).count()
-      manifest.commit(StageRecord("docmap", "complete", fp, n,
-        (System.nanoTime() - t0) / 1000000, Map("partitions" -> parts.toString)))
-    }
-
-    val docmap = spark.read.parquet(cfg.docmapPath).as[DocMapEntry]
-    val numDocs = manifest.get("docmap").get.rows
-    def withIds: Dataset[(SourceFile, Long)] = corpus
-      .joinWith(docmap,
-        corpus("repo") === docmap("repo") &&
-        corpus("path") === docmap("path") &&
-        corpus("commit") === docmap("commit"))
-      .map { case (sf, dm) => (sf, dm.docId) }
-
-    // ---- stage 2: docs ----------------------------------------------------
-    if (!manifest.isComplete("docs", fp)) {
-      val t0 = System.nanoTime()
-      val docs = withIds.mapPartitions { it =>
+      // Tokenize BEFORE the rank shuffle: the range exchange then moves
+      // compact (terms[], tfs[]) payloads as Tungsten rows instead of raw
+      // content — at 100 TB the content bytes never cross the network at
+      // all; only their tokenized digest does. The global docId is
+      // offset(pid) + localIdx over range-partitioned, partition-sorted
+      // unique keys: the dense lexicographic rank, reconstructed at read
+      // time from per-partition offsets in the manifest (no RDD, no
+      // zipWithIndex, one shuffle, fully deterministic).
+      val pre: Dataset[PreDoc] = corpus.mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
         val pt0 = System.nanoTime()
         var rows = 0L; var toks = 0L
-        val mapped = it.map { case (sf, docId) =>
-          val dl = CodeTokenizer.docLength(sf.content)
+        val mapped = it.map { sf =>
+          val (tf, dl) = CodeTokenizer.termFreqsRaw(sf.content)
+          val nTerms = tf.size
+          val terms = new Array[String](nTerms)
+          val tfs = new Array[Int](nTerms)
+          var j = 0
+          tf.foreach { (t, f) => terms(j) = t; tfs(j) = f; j += 1 }
           rows += 1; toks += dl
-          DocEntry(docId, sf.repo, sf.path, sf.commit, sf.lang, dl,
-            graft.corpus.CorpusGen.sha256Hex(sf.content))
+          PreDoc(sf.repo, sf.path, sf.commit, sf.lang, dl,
+            graft.corpus.CorpusGen.sha256Hex(sf.content), terms, tfs)
         }
-        new Iterator[DocEntry] {
-          def hasNext: Boolean = {
-            val h = mapped.hasNext
-            if (!h) metricsAcc.add(PartitionMetric("docs", pid, rows, toks, 0L,
-              (System.nanoTime() - pt0) / 1000000))
-            h
-          }
-          def next(): DocEntry = mapped.next()
-        }
+        completionHook(mapped, () => metricsAcc.add(PartitionMetric(
+          "forward", pid, rows, toks, 0L, (System.nanoTime() - pt0) / 1000000)))
       }
-      docs
-        .repartitionByRange(parts, $"docId")
-        .sortWithinPartitions($"docId")
-        .write.mode("overwrite").parquet(cfg.docsPath)
-      val agg = spark.read.parquet(cfg.docsPath)
-        .agg(count(lit(1)), sum($"dl")).as[(Long, Long)].head()
-      manifest.commit(StageRecord("docs", "complete", fp, agg._1,
+      // persist: repartitionByRange runs a range-boundary sampling job over
+      // its input first — without the persist that pass would re-tokenize
+      // the whole corpus a second time
+      pre.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pre
+        .repartitionByRange(parts, $"repo", $"path", $"commit")
+        .sortWithinPartitions($"repo", $"path", $"commit")
+        .mapPartitions { it =>
+          val pid = TaskContext.getPartitionId()
+          var i = -1L
+          it.map { p =>
+            i += 1
+            ForwardRow(pid, i, p.repo, p.path, p.commit, p.lang, p.dl, p.sha,
+              p.terms, p.tfs)
+          }
+        }
+        .write.mode("overwrite").parquet(cfg.forwardPath)
+      pre.unpersist()
+      // per-partition offsets -> manifest (partition boundaries may vary
+      // run-to-run; offset(pid)+localIdx is the same dense rank regardless)
+      val counts = spark.read.parquet(cfg.forwardPath)
+        .groupBy($"pid").agg(count(lit(1)).as("n"), sum($"dl").as("toks"))
+        .as[(Int, Long, Long)].collect().sortBy(_._1)
+      var acc = 0L
+      val offsets = counts.map { case (pid, n, _) =>
+        val o = (pid, acc); acc += n; o
+      }
+      val totalToks = counts.map(_._3).sum
+      manifest.commit(StageRecord("forward", "complete", fp, acc,
         (System.nanoTime() - t0) / 1000000,
-        Map("totalTokens" -> agg._2.toString)))
+        Map("partitions" -> parts.toString,
+            "totalTokens" -> totalToks.toString,
+            "offsets" -> offsets.map(o => s"${o._1}:${o._2}").mkString(","))))
     }
 
-    val totalTokens = manifest.get("docs").get.extra("totalTokens").toLong
+    val numDocs = manifest.get("forward").get.rows
+    val totalTokens = manifest.get("forward").get.extra("totalTokens").toLong
     val avgDl = totalTokens.toDouble / math.max(numDocs, 1L)
+    def forwardWithIds = loadForward(spark, cfg)
 
-    // ---- stage 3: postings ------------------------------------------------
+    // ---- stage 2: docs (projection; terms/tfs pruned at the reader) --------
+    if (!manifest.isComplete("docs", fp)) {
+      val t0 = System.nanoTime()
+      forwardWithIds
+        .select($"docId", $"repo", $"path", $"commit", $"lang", $"dl", $"sha")
+        .write.mode("overwrite").parquet(cfg.docsPath)
+      manifest.commit(StageRecord("docs", "complete", fp, numDocs,
+        (System.nanoTime() - t0) / 1000000,
+        Map("totalTokens" -> totalTokens.toString)))
+    }
+
+    // ---- stage 3: postings --------------------------------------------------
     if (!manifest.isComplete("postings", fp)) {
       val t0 = System.nanoTime()
-      val raw: Dataset[RawPosting] = withIds.flatMap { case (sf, docId) =>
-        val (tf, dl) = CodeTokenizer.termFreqs(sf.content)
-        tf.iterator.map { case (term, f) => RawPosting(term, docId, f, dl) }
-      }
-      // Heavy-hitter detection: exact df-count with map-side partial agg.
-      // At 100 TB the same plan holds (partial aggregation bounds shuffle
-      // rows at vocabSize × mapTasks); an approx_count_distinct / sampled
-      // pre-pass is the documented fallback if vocab explodes.
-      val heavy: Set[String] = raw
+      // Heavy-hitter detection: exact df-count with map-side partial agg over
+      // the pruned terms column. At 100 TB the same plan holds (partial agg
+      // bounds shuffle rows at vocabSize × mapTasks); an
+      // approx_count_distinct / sampled pre-pass is the documented fallback
+      // if vocab explodes.
+      val heavy: Set[String] = spark.read.parquet(cfg.forwardPath)
+        .select(explode($"terms").as("term"))
         .groupBy($"term").agg(count(lit(1)).as("n"))
         .filter($"n" > cfg.heavyDfThreshold)
-        .orderBy($"n".desc)
+        .orderBy($"n".desc, $"term".asc)
         .limit(cfg.maxHeavyTerms)
         .select($"term").as[String].collect().toSet
       val heavyB = spark.sparkContext.broadcast(heavy)
@@ -197,15 +249,24 @@ object IndexBuilder {
       val bm25 = cfg.bm25
       val avgDlV = avgDl
 
-      val salted = raw.map { p =>
-        val salt =
-          if (heavyB.value.contains(p.term)) shardOf(p.docId, nDocs, nShards)
-          else 0
-        (p.term, salt, p.docId, p.tf, p.dl)
-      }.toDF("term", "salt", "docId", "tf", "dl")
+      val salted = forwardWithIds
+        .select($"docId", $"dl", $"terms", $"tfs")
+        .as[(Long, Int, Array[String], Array[Int])]
+        .flatMap { case (docId, dl, terms, tfs) =>
+          val hv = heavyB.value
+          terms.indices.iterator.map { j =>
+            val t = terms(j)
+            val salt = if (hv.contains(t)) shardOf(docId, nDocs, nShards) else 0
+            (t, salt, docId, tfs(j), dl)
+          }
+        }
+        .toDF("term", "salt", "docId", "tf", "dl")
 
+      // 4× tasks per core: smaller per-task sort runs (better cache
+      // behavior, bounded task memory) and finer skew smoothing — the same
+      // sizing rule a cluster deployment uses (~128 MB sort runs per task)
       val blocks = salted
-        .repartition(parts, $"term", $"salt")
+        .repartition(parts * 4, $"term", $"salt")
         .sortWithinPartitions($"term", $"salt", $"docId")
         .as[(String, Int, Long, Int, Int)]
         .mapPartitions { it =>
@@ -293,6 +354,36 @@ object IndexBuilder {
     val lex = manifest.get("lexicon").get
     CorpusStats(numDocs, avgDl, totalTokens, lex.rows)
   }
+
+  /** The forward index with the dense global docId reconstructed:
+    * docId = offset(pid) + localIdx (offsets from the manifest, broadcast
+    * joined — codegen'd, no UDF). */
+  def loadForward(spark: SparkSession, cfg: IndexConfig)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rec = new Manifest(cfg.indexDir).get("forward").getOrElse(
+      throw new IllegalStateException(s"forward stage missing in ${cfg.indexDir}"))
+    val offsets = rec.extra("offsets").split(",").filter(_.nonEmpty).map { s =>
+      val Array(p, o) = s.split(":"); (p.toInt, o.toLong)
+    }.toSeq
+    val offDF = broadcast(offsets.toDF("pid", "off"))
+    spark.read.parquet(cfg.forwardPath)
+      .join(offDF, "pid")
+      .withColumn("docId", $"off" + $"localIdx")
+      .drop("pid", "localIdx", "off")
+  }
+
+  /** Wrap `it` so `onDone` fires once when it is exhausted. */
+  private def completionHook[T](it: Iterator[T], onDone: () => Unit): Iterator[T] =
+    new Iterator[T] {
+      private var fired = false
+      def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !fired) { onDone(); fired = true }
+        h
+      }
+      def next(): T = it.next()
+    }
 
   /** Stats of an already-built index (no build triggered). */
   def stats(cfg: IndexConfig): CorpusStats = {

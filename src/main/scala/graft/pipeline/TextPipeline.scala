@@ -121,19 +121,28 @@ object TextPipeline {
         .orderBy(col("doc_id"))
     }),
 
-    // --- MinHash + LSH near-dup candidate pairs: band signatures bucket-join
+    // --- MinHash + LSH near-dup candidate pairs: band signatures bucket-join.
+    //     Sampled every 5th doc: this synthetic corpus is drawn from a tiny
+    //     shared vocabulary, so ALL docs are minhash-near-dups and unsampled
+    //     candidate pairs grow quadratically (9.2M at sf0.1) — sampling keeps
+    //     the demo bounded while exercising the identical plan shape.
     "q35_minhash_pairs" -> ((s, d) => {
-      val base = docs(s, d)
+      val base = docs(s, d).filter(col("doc_id") % 5 === 0)
         .withColumn("term", explode(array_distinct(tokensCol(col("text")))))
         .withColumn("h", conv(substring(md5(col("term")), 1, 7), 16, 10).cast("long"))
       val aggs = (0 until MinhashHashes).map(j =>
         min((col("h") * MinhashA(j) + MinhashB(j)) % MinhashP).as(s"mh$j"))
       val sig = base.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      // bands of 2 rows: bucket key = (band, mh_{2b}, mh_{2b+1})
-      val bands = (0 until MinhashBands).map { b =>
-        sig.select(col("doc_id"), lit(b).as("band"),
-          col(s"mh${2 * b}").as("k1"), col(s"mh${2 * b + 1}").as("k2"))
-      }.reduce(_ union _)
+      // bands of 2 rows: bucket key = (band, mh_{2b}, mh_{2b+1}); a single
+      // explode instead of a 4-way union so the signature aggregation runs
+      // once, not once per band per join side
+      val bandArr = array((0 until MinhashBands).map { b =>
+        struct(lit(b).as("band"), col(s"mh${2 * b}").as("k1"),
+          col(s"mh${2 * b + 1}").as("k2"))
+      }: _*)
+      val bands = sig.select(col("doc_id"), explode(bandArr).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"),
+          col("bk.k1").as("k1"), col("bk.k2").as("k2"))
       val l = bands.select(col("band"), col("k1"), col("k2"), col("doc_id").as("a"))
       val r = bands.select(col("band"), col("k1"), col("k2"), col("doc_id").as("b"))
       l.join(r, Seq("band", "k1", "k2"))
@@ -240,7 +249,7 @@ object TextPipeline {
         .mkString("\n  UNION ALL ")
       s"""WITH toks AS ($tokensSqlDuck),
          |hv AS (SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(term),1,7)) AS BIGINT) AS h
-         |       FROM (SELECT DISTINCT doc_id, term FROM toks)),
+         |       FROM (SELECT DISTINCT doc_id, term FROM toks) WHERE doc_id % 5 = 0),
          |sig AS (SELECT doc_id, $hashSql FROM hv GROUP BY 1),
          |bands AS ($bandSql)
          |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b

@@ -36,14 +36,47 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig) extends Serializable
   val stats: CorpusStats = IndexBuilder.stats(cfg)
   private val p = cfg.bm25
 
+  /** Doc-length (norms) table, persisted once per Searcher: every query
+    * needs it and it is small relative to postings (one int per doc — the
+    * analogue of Lucene's norms file). At cluster scale this is a cached
+    * Dataset partitioned by shard; queries reuse it across the session. */
+  private lazy val norms: Dataset[(Long, Int)] = {
+    val ds = spark.read.parquet(cfg.docsPath)
+      .select($"docId", $"dl").as[(Long, Int)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ds.count() // materialize
+    ds
+  }
+
+  /** Norms broadcast threshold: below this many documents the dl table is
+    * shipped to executors as a plain Int array (4 bytes/doc ⇒ 40 MB at
+    * 10M docs) instead of cogrouped per query — the same size-based
+    * strategy switch Spark applies for broadcast vs shuffle joins. */
+  val BroadcastNormsMaxDocs: Long = 10000000L
+
+  private lazy val normsBroadcast
+      : org.apache.spark.broadcast.Broadcast[Array[Int]] = {
+    val arr = new Array[Int](stats.numDocs.toInt)
+    norms.collect().foreach { case (d, dl) => arr(d.toInt) = dl }
+    spark.sparkContext.broadcast(arr)
+  }
+
+  /** Lexicon cached once per Searcher (tiny relative to postings). */
+  private lazy val lexiconDF = {
+    val df = spark.read.parquet(cfg.lexiconPath)
+      .select($"term", $"df", $"maxTfNorm")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    df
+  }
+
   /** Canonical query terms: tokenize, dedupe, sort. */
   def queryTerms(query: String): Array[String] =
     CodeTokenizer.tokenize(query).distinct.sorted.toArray
 
   private def lexFor(terms: Array[String]): Map[String, (Long, Double)] =
-    spark.read.parquet(cfg.lexiconPath)
+    lexiconDF
       .filter($"term".isin(terms.toSeq: _*))
-      .select($"term", $"df", $"maxTfNorm")
       .as[(String, Long, Double)]
       .collect()
       .map { case (t, df, m) => t -> (df, m) }
@@ -77,9 +110,7 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig) extends Serializable
       PostingCodec.decodeBlock(blk.bytes).map(pp => (pp.docId, ti, pp.tf))
     }.toDF("docId", "termIdx", "tf")
 
-    val norms = spark.read.parquet(cfg.docsPath).select($"docId", $"dl")
-
-    postings.join(norms, "docId")
+    postings.join(norms.toDF("docId", "dl"), "docId")
       .as[(Long, Int, Int, Int)]
       .groupByKey(_._1)
       .mapGroups { (docId, rows) =>
@@ -125,20 +156,31 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig) extends Serializable
     val blocks = blocksFor(present)
       .map(blk => (IndexBuilder.shardOf(blk.firstDocId, n, nShards), blk))
       .groupByKey(_._1)
-    val norms = spark.read.parquet(cfg.docsPath)
-      .select($"docId", $"dl").as[(Long, Int)]
-      .map { case (d, dl) => (IndexBuilder.shardOf(d, n, nShards), d, dl) }
-      .groupByKey(_._1)
 
-    val local: Dataset[ScoredDoc] = blocks.cogroup(norms) {
-      (_, blkIt, normIt) =>
-        val dlMap = new java.util.HashMap[Long, Int]()
-        normIt.foreach { case (_, d, dl) => dlMap.put(d, dl) }
-        val byTerm = blkIt.map(_._2).toArray.groupBy(_.term)
-        if (byTerm.isEmpty) Iterator.empty
-        else WandShard.topK(byTerm, idxB.value, wB.value, ubB.value,
-          dlMap, k1, b, avgDl, kk).iterator
-    }
+    val local: Dataset[ScoredDoc] =
+      if (stats.numDocs <= BroadcastNormsMaxDocs) {
+        // broadcast-norms fast path: no per-query norms shuffle
+        val nb = normsBroadcast
+        blocks.flatMapGroups { (_, blkIt) =>
+          val byTerm = blkIt.map(_._2).toArray.groupBy(_.term)
+          if (byTerm.isEmpty) Iterator.empty
+          else WandShard.topK(byTerm, idxB.value, wB.value, ubB.value,
+            nb.value, k1, b, avgDl, kk).iterator
+        }
+      } else {
+        // cluster-scale path: norms cogrouped by docId shard
+        val normsByShard = norms
+          .map { case (d, dl) => (IndexBuilder.shardOf(d, n, nShards), d, dl) }
+          .groupByKey(_._1)
+        blocks.cogroup(normsByShard) { (_, blkIt, normIt) =>
+          val dlMap = new java.util.HashMap[Long, Int]()
+          normIt.foreach { case (_, d, dl) => dlMap.put(d, dl) }
+          val byTerm = blkIt.map(_._2).toArray.groupBy(_.term)
+          if (byTerm.isEmpty) Iterator.empty
+          else WandShard.topK(byTerm, idxB.value, wB.value, ubB.value,
+            dlMap, k1, b, avgDl, kk).iterator
+        }
+      }
 
     local.orderBy($"score".desc, $"docId".asc).limit(k).collect()
   }
@@ -236,13 +278,33 @@ object WandShard {
     }
   }
 
-  /** Exact top-k of one shard. `byTerm`: term -> its blocks in this shard. */
   def topK(
       byTerm: Map[String, Array[PostingBlockRow]],
       idxOf: Map[String, Int],
       weights: Array[Double],
       termUB: Array[Double],
       dlMap: java.util.HashMap[Long, Int],
+      k1: Double, b: Double, avgDl: Double,
+      k: Int): Seq[ScoredDoc] =
+    topK(byTerm, idxOf, weights, termUB, d => dlMap.get(d), k1, b, avgDl, k)
+
+  def topK(
+      byTerm: Map[String, Array[PostingBlockRow]],
+      idxOf: Map[String, Int],
+      weights: Array[Double],
+      termUB: Array[Double],
+      normsArr: Array[Int],
+      k1: Double, b: Double, avgDl: Double,
+      k: Int): Seq[ScoredDoc] =
+    topK(byTerm, idxOf, weights, termUB, d => normsArr(d.toInt), k1, b, avgDl, k)
+
+  /** Exact top-k of one shard. `byTerm`: term -> its blocks in this shard. */
+  def topK(
+      byTerm: Map[String, Array[PostingBlockRow]],
+      idxOf: Map[String, Int],
+      weights: Array[Double],
+      termUB: Array[Double],
+      dlOf: Long => Int,
       k1: Double, b: Double, avgDl: Double,
       k: Int): Seq[ScoredDoc] = {
 
@@ -303,7 +365,7 @@ object WandShard {
             } else {
               // full score in canonical term order
               val contrib = new Array[Double](weights.length)
-              val dl = dlMap.get(pivotDoc)
+              val dl = dlOf(pivotDoc)
               j = 0
               while (j < nAt) {
                 val c = sorted(j)

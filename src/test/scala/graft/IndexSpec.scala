@@ -57,8 +57,9 @@ class IndexSpec extends AnyFunSuite {
     assert(built.vocabSize > 100)
   }
 
-  test("docmap is the dense lexicographic rank of (repo, path, commit)") {
-    val dm = spark.read.parquet(cfg(indexDir).docmapPath)
+  test("docIds are the dense lexicographic rank of (repo, path, commit)") {
+    val dm = spark.read.parquet(cfg(indexDir).docsPath)
+      .select($"docId", $"repo", $"path", $"commit")
       .as[DocMapEntry].collect().sortBy(_.docId)
     assert(dm.length == NumFiles)
     assert(dm.map(_.docId).toSeq == (0L until NumFiles))
@@ -157,18 +158,18 @@ class IndexSpec extends AnyFunSuite {
     val c3 = cfg(dir3)
     IndexBuilder.build(spark, corpusDS, c3)
     val m = new Manifest(dir3)
-    val docmapWallBefore = m.get("docmap").get.wallMs
+    val forwardWallBefore = m.get("forward").get.wallMs
     val docsMtime = new java.io.File(c3.docsPath).lastModified()
 
     // simulate a crash after stage 2: wipe postings+lexicon records
-    val keep = m.read().view.filterKeys(Set("docmap", "docs")).toMap
+    val keep = m.read().view.filterKeys(Set("forward", "docs")).toMap
     val m2 = new Manifest(dir3)
     // rewrite manifest with only the kept stages
     java.nio.file.Files.delete(java.nio.file.Paths.get(dir3, "manifest.json"))
     keep.values.foreach(m2.commit)
 
     IndexBuilder.build(spark, corpusDS, c3) // resume
-    assert(m2.get("docmap").get.wallMs == docmapWallBefore, "docmap re-ran")
+    assert(m2.get("forward").get.wallMs == forwardWallBefore, "forward re-ran")
     assert(new java.io.File(c3.docsPath).lastModified() == docsMtime, "docs re-ran")
     val s3 = new Searcher(spark, c3)
     refQueries.take(6).foreach { q =>
@@ -178,7 +179,7 @@ class IndexSpec extends AnyFunSuite {
 
   test("per-partition build metrics were recorded") {
     val metrics = spark.read.parquet(cfg(indexDir).metricsPath)
-    assert(metrics.filter($"stage" === "docs").count() > 0)
+    assert(metrics.filter($"stage" === "forward").count() > 0)
     assert(metrics.filter($"stage" === "postings").count() > 0)
     assert(metrics.agg(sum($"rows")).as[Long].head() > 0L)
   }
