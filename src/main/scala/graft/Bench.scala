@@ -60,7 +60,9 @@ object Bench {
     val p50 = sorted(sorted.length / 2)
     val p95 = sorted(math.min(sorted.length - 1, (sorted.length * 95) / 100))
 
-    // 3) headline queries across the surface
+    // 3) headline queries across the surface (index-cache pre-warmed so
+    //    q5x_* timings measure the query, not a second index build)
+    IndexQueries.indexFor(spark, sfDir)
     val heads = Seq(
       "q01_pricing_summary", "q04_multi_join", "q08_topk", "q12_distinct_agg",
       "q22_window_rank", "q25_events_hourly", "q30_token_stats",

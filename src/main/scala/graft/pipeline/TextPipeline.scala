@@ -177,7 +177,6 @@ object TextPipeline {
         .select(col("a"), col("b"),
           round(col("inter").cast("double") /
             (col("na") + col("nb") - col("inter")).cast("double"), 4).as("jaccard"))
-        .filter(col("jaccard") >= 0.1)
         .orderBy(col("a"), col("b"))
     }),
 
@@ -282,7 +281,6 @@ object TextPipeline {
          |SELECT a, b,
          |  round(CAST(inter AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE), 4) AS jaccard
          |FROM inter JOIN counts ca ON ca.doc_id = a JOIN counts cb ON cb.doc_id = b
-         |WHERE round(CAST(inter AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE), 4) >= 0.1
          |ORDER BY a, b""".stripMargin
     // q37_simhash: no SQL oracle (rows-only check); see SimHashSpec
   )

@@ -110,9 +110,11 @@ object TpchQueries {
         .orderBy(col("c_custkey"))
     }),
 
-    // --- anti join (NOT EXISTS)
+    // --- anti join (NOT EXISTS); predicate chosen to be non-empty at every
+    //     scale factor (every customer has SOME order in this data)
     "q07_anti_join" -> ((s, d) => {
-      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
@@ -362,7 +364,8 @@ object TpchQueries {
         |ORDER BY c_custkey""".stripMargin,
     "q07_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
     "q08_topk" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the events table.
+  *
+  * The reference has NO streaming subsystem (SURVEY.md §2.9) — this is a
+  * deliberate Spark-native superset: the same declarative aggregations the
+  * batch engine runs, expressed incrementally with watermarks and typed
+  * state. Batch/stream equivalence is pinned by StreamingSpec (the windowed
+  * aggregation over a finite input must equal the batch groupBy).
+  */
+object StreamingOps {
+
+  /** Hourly tumbling-window counts/sums per event type, 2h watermark.
+    * Returns a streaming DataFrame; callers pick sink + trigger. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      // event-time watermarks require TIMESTAMP (parquet may carry NTZ)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("w.start").as("hr"), col("event_type"), col("n"), col("total"))
+
+  /** Batch twin of hourlyAgg (hour-aligned tumbling window == date_trunc). */
+  def hourlyAggBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int, sum: Double)
+  final case class Session(user_id: Long, startMs: Long, endMs: Long,
+      n_events: Int, total_value: Double)
+
+  /** Gap-based sessionization (30 min inactivity closes a session) with
+    * typed state per user — the KeyValueGroupedDataset.flatMapGroupsWithState
+    * path (reference analogue: none; terrier has no stateful operators). */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (userId: Long, evs: Iterator[Event], state: GroupState[SessionState]) => {
+          // sort the group's new events by time (deterministic), fold into
+          // sessions, emit closed ones, keep the open one in state
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption.orNull
+          val out = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (cur == null) cur = SessionState(t, t, 1, e.value)
+            else if (t - cur.last > gapMs) {
+              out += Session(userId, cur.start, cur.last, cur.n, cur.sum)
+              cur = SessionState(t, t, 1, e.value)
+            } else cur = SessionState(cur.start, t, cur.n + 1, cur.sum + e.value)
+          }
+          if (cur != null) state.update(cur)
+          out.result().iterator
+        })
+  }
+
+  /** Drive a finite parquet table through a streaming query into a memory
+    * sink and return the result (test/demo harness: batch-as-stream). */
+  def runToMemory(spark: SparkSession, dir: String, name: String)
+      : DataFrame = {
+    // FileStreamSource wants a directory of files — stage the single-file
+    // table into a temp dir (what a real deployment's landing zone is)
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val staged = java.nio.file.Files
+      .createTempDirectory(s"graft-stream-$name").toString
+    batch.write.mode("overwrite").parquet(s"$staged/in")
+    val stream = spark.readStream.schema(batch.schema)
+      .parquet(s"$staged/in")
+    val q = hourlyAgg(stream).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}
