@@ -73,6 +73,8 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val numFiles = if (args.length > 0) args(0).toLong else 60000L
     val outMd = if (args.length > 1) args(1) else ""
+    val loCores = if (args.length > 2) args(2).toInt else 8
+    val hiCores = if (args.length > 3) args(3).toInt else loCores * 4
     val corpusPath =
       s"${System.getProperty("java.io.tmpdir")}/graft-scale-corpus-$numFiles"
 
@@ -83,8 +85,8 @@ object ScalingBench {
       val b = runAt(cores, numFiles, corpusPath)
       if (a.secs <= b.secs) a else b
     }
-    val r8run = bestOf(8)
-    val r32run = bestOf(32)
+    val r8run = bestOf(loCores)
+    val r32run = bestOf(hiCores)
     val (t8, bytes, r8) = (r8run.secs, r8run.bytes, r8run.topk)
     val (t32, r32) = (r32run.secs, r32run.topk)
     val identical = r8 == r32
@@ -95,11 +97,11 @@ object ScalingBench {
     def st(m: Map[String, Long]) = Seq("forward", "docs", "postings", "lexicon")
       .map(k => s""""$k":${m.getOrElse(k, -1L)}""").mkString("{", ",", "}")
     val json =
-      f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","num_files":$numFiles,"corpus_gb":$gb%.3f,"build_sec_local8":$t8%.2f,"build_sec_local32":$t32%.2f,"gb_per_hour_local8":$thr8%.3f,"gb_per_hour_local32":$thr32%.3f,"rank_identical_across_parallelism":$identical,"stage_ms_local8":${st(r8run.stageMs)},"stage_ms_local32":${st(r32run.stageMs)}}"""
+      f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","num_files":$numFiles,"corpus_gb":$gb%.3f,"cores_n":$loCores,"cores_4n":$hiCores,"build_sec_n":$t8%.2f,"build_sec_4n":$t32%.2f,"gb_per_hour_n":$thr8%.3f,"gb_per_hour_4n":$thr32%.3f,"rank_identical_across_parallelism":$identical,"stage_ms_n":${st(r8run.stageMs)},"stage_ms_4n":${st(r32run.stageMs)}}"""
     println(json)
     if (outMd.nonEmpty) {
       val md =
-        f"""## Scaling run (N vs 4N parallelism proxy: local[8] vs local[32])
+        f"""## Scaling run (N vs 4N parallelism proxy: local[$loCores] vs local[$hiCores])
            |
            |Same job (full index build: docmap → docs → postings → lexicon),
            |same deterministic corpus (CorpusGen seed=42, $numFiles files,
@@ -107,8 +109,8 @@ object ScalingBench {
            |
            || parallelism | build time (s) | throughput (GB/hour) |
            ||---|---|---|
-           || local[8]  (N)  | $t8%.1f | $thr8%.2f |
-           || local[32] (4N) | $t32%.1f | $thr32%.2f |
+           || local[$loCores]  (N)  | $t8%.1f | $thr8%.2f |
+           || local[$hiCores] (4N) | $t32%.1f | $thr32%.2f |
            |
            |**Scaling efficiency = (thr_4N / thr_N) / 4 = $eff%.3f** (target ≥ 0.8)
            |

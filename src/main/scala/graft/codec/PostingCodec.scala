@@ -135,12 +135,12 @@ object PostingCodec {
     }
   }
 
-  /** Frame a (term, shard)-local, docId-sorted run of postings into encoded
-    * block rows. `tfNorm(tf, dl)` is the BM25 tf-normalization used for the
-    * block-max metadata. The caller guarantees postings are strictly
-    * increasing in docId and all belong to (term, shard). */
+  /** Frame a (termId, shard)-local, docId-sorted run of postings into
+    * encoded block rows. `tfNorm(tf, dl)` is the BM25 tf-normalization used
+    * for the block-max metadata. The caller guarantees postings are strictly
+    * increasing in docId and all belong to (termId, shard). */
   def buildBlocks(
-      term: String,
+      termId: Int,
       shard: Int,
       postings: Seq[(Long, Int, Int)], // (docId, tf, dl)
       tfNorm: (Int, Int) => Double,
@@ -156,7 +156,7 @@ object PostingCodec {
         if (n > maxNorm) maxNorm = n
       }
       PostingBlockRow(
-        term = term, shard = shard, blockIdx = idx,
+        termId = termId, shard = shard, blockIdx = idx,
         firstDocId = grp.head._1, lastDocId = grp.last._1,
         count = grp.length, maxTf = maxTf, sumTf = sumTf,
         maxTfNorm = maxNorm,

@@ -120,11 +120,15 @@ object IndexQueries {
     "q54_postings_roundtrip" -> ((s, d) => {
       import s.implicits._
       val cfg = indexFor(s, d)
-      val blocks = s.read.parquet(cfg.postingsPath)
+      val sTerms = s.read.parquet(cfg.vocabPath)
         .filter(col("term").startsWith("s"))
-        .as[PostingBlockRow]
-      val decoded = blocks.flatMap(b =>
-        PostingCodec.decodeBlock(b.bytes).map(p => (b.term, p.docId, p.tf)))
+        .select(col("termId"), col("term"))
+      val blocks = s.read.parquet(cfg.postingsPath)
+        .join(broadcast(sTerms), "termId")
+        .select(col("term"), col("bytes"))
+        .as[(String, Array[Byte])]
+      val decoded = blocks.flatMap { case (term, bytes) =>
+        PostingCodec.decodeBlock(bytes).map(p => (term, p.docId, p.tf)) }
         .toDF("term", "docId", "tf")
       val docmap = s.read.parquet(cfg.docsPath)
         .select(col("docId"), col("path").cast("long").as("doc_id"))

@@ -33,6 +33,7 @@ final case class IndexConfig(
     maxHeavyTerms: Int = 4096,
     buildPartitions: Int = 0) {
   def forwardPath: String = s"$indexDir/forward"
+  def vocabPath: String = s"$indexDir/vocab"
   def docsPath: String = s"$indexDir/docs"
   def postingsPath: String = s"$indexDir/postings"
   def lexiconPath: String = s"$indexDir/lexicon"
@@ -120,7 +121,7 @@ object IndexBuilder {
   /** Bumped whenever the on-disk index layout or stage semantics change:
     * part of every stage fingerprint, so resume never reuses output written
     * by an incompatible builder version. */
-  val FormatVersion = 2
+  val FormatVersion = 3
 
   @inline def shardOf(docId: Long, numDocs: Long, numShards: Int): Int = {
     val s = ((docId * numShards) / math.max(numDocs, 1L)).toInt
@@ -227,21 +228,44 @@ object IndexBuilder {
         Map("totalTokens" -> totalTokens.toString)))
     }
 
-    // ---- stage 3: postings --------------------------------------------------
+    // ---- stage 3: vocab + postings ------------------------------------------
     if (!manifest.isComplete("postings", fp)) {
       val t0 = System.nanoTime()
-      // Heavy-hitter detection: exact df-count with map-side partial agg over
-      // the pruned terms column. At 100 TB the same plan holds (partial agg
-      // bounds shuffle rows at vocabSize × mapTasks); an
-      // approx_count_distinct / sampled pre-pass is the documented fallback
-      // if vocab explodes.
-      val heavy: Set[String] = spark.read.parquet(cfg.forwardPath)
+      // Vocabulary, document frequencies and heavy-hitter detection in ONE
+      // exact agg with map-side partial combine over the pruned terms
+      // column (per-doc terms are distinct, so count == df). termId = dense
+      // rank of the term string. The dictionary is collected + broadcast —
+      // valid while the vocab fits the driver (code corpora: vocab grows
+      // ~log with corpus size); the >10M-term path is the same offsets
+      // trick used for docIds plus a shuffle join, documented not built.
+      val vocabRows: Array[(String, Long)] = spark.read.parquet(cfg.forwardPath)
         .select(explode($"terms").as("term"))
         .groupBy($"term").agg(count(lit(1)).as("n"))
-        .filter($"n" > cfg.heavyDfThreshold)
-        .orderBy($"n".desc, $"term".asc)
-        .limit(cfg.maxHeavyTerms)
-        .select($"term").as[String].collect().toSet
+        .as[(String, Long)].collect()
+      scala.util.Sorting.quickSort(vocabRows)(Ordering.by(_._1))
+      val termIdOf: java.util.HashMap[String, Int] = {
+        val m = new java.util.HashMap[String, Int](vocabRows.length * 2)
+        var i = 0
+        while (i < vocabRows.length) { m.put(vocabRows(i)._1, i); i += 1 }
+        m
+      }
+      // salt the top-df terms above threshold (bounded at maxHeavyTerms)
+      val heavy: java.util.HashSet[Integer] = {
+        val s = new java.util.HashSet[Integer]()
+        vocabRows.zipWithIndex
+          .filter(_._1._2 > cfg.heavyDfThreshold)
+          .sortBy(-_._1._2)
+          .take(cfg.maxHeavyTerms)
+          .foreach { case (_, id) => s.add(id) }
+        s
+      }
+      import spark.implicits._
+      vocabRows.zipWithIndex
+        .map { case ((term, df), id) => (id, term, df) }.toSeq
+        .toDF("termId", "term", "df")
+        .coalesce(1).write.mode("overwrite").parquet(cfg.vocabPath)
+
+      val termIdB = spark.sparkContext.broadcast(termIdOf)
       val heavyB = spark.sparkContext.broadcast(heavy)
       val nShards = cfg.numShards
       val nDocs = numDocs
@@ -253,34 +277,35 @@ object IndexBuilder {
         .select($"docId", $"dl", $"terms", $"tfs")
         .as[(Long, Int, Array[String], Array[Int])]
         .flatMap { case (docId, dl, terms, tfs) =>
+          val ids = termIdB.value
           val hv = heavyB.value
           terms.indices.iterator.map { j =>
-            val t = terms(j)
-            val salt = if (hv.contains(t)) shardOf(docId, nDocs, nShards) else 0
-            (t, salt, docId, tfs(j), dl)
+            val tid = ids.get(terms(j))
+            val salt = if (hv.contains(tid)) shardOf(docId, nDocs, nShards) else 0
+            (tid, salt, docId, tfs(j), dl)
           }
         }
-        .toDF("term", "salt", "docId", "tf", "dl")
+        .toDF("termId", "salt", "docId", "tf", "dl")
 
       // 4× tasks per core: smaller per-task sort runs (better cache
       // behavior, bounded task memory) and finer skew smoothing — the same
       // sizing rule a cluster deployment uses (~128 MB sort runs per task)
       val blocks = salted
-        .repartition(parts * 4, $"term", $"salt")
-        .sortWithinPartitions($"term", $"salt", $"docId")
-        .as[(String, Int, Long, Int, Int)]
+        .repartition(parts * 4, $"termId", $"salt")
+        .sortWithinPartitions($"termId", $"salt", $"docId")
+        .as[(Int, Int, Long, Int, Int)]
         .mapPartitions { it =>
           val pid = TaskContext.getPartitionId()
           val pt0 = System.nanoTime()
           var rows = 0L; var bytesOut = 0L
-          // Stream runs of equal term — never materialize a full term's
+          // Stream runs of equal termId — never materialize a full term's
           // postings: emit a block whenever 1) blockSize postings buffered,
           // 2) the docId shard changes, or 3) the term changes. At most
           // blockSize postings are ever buffered per partition.
           new Iterator[PostingBlockRow] {
             private val base = it.buffered
             private var blockIdx = 0
-            private var lastTerm: String = null
+            private var lastTerm = Int.MinValue
             private var metricsEmitted = false
             private val buf =
               scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
@@ -296,18 +321,18 @@ object IndexBuilder {
             }
 
             def next(): PostingBlockRow = {
-              val term = base.head._1
+              val termId = base.head._1
               val shard = shardOf(base.head._3, nDocs, nShards)
-              if (term != lastTerm) { blockIdx = 0; lastTerm = term }
+              if (termId != lastTerm) { blockIdx = 0; lastTerm = termId }
               buf.clear()
               var continue = true
               while (continue && base.hasNext && buf.length < blockSize) {
                 val (t, _, d, tf, dl) = base.head
-                if (t == term && shardOf(d, nDocs, nShards) == shard) {
+                if (t == termId && shardOf(d, nDocs, nShards) == shard) {
                   buf += ((d, tf, dl)); rows += 1; base.next()
                 } else continue = false
               }
-              val b = PostingCodec.buildBlocks(term, shard, buf.toSeq,
+              val b = PostingCodec.buildBlocks(termId, shard, buf.toSeq,
                 (tf, dl) => tfNorm(tf, dl, avgDlV, bm25), blockSize)
                 .head.copy(blockIdx = blockIdx)
               blockIdx += 1
@@ -321,6 +346,7 @@ object IndexBuilder {
       manifest.commit(StageRecord("postings", "complete", fp, nb,
         (System.nanoTime() - t0) / 1000000,
         Map("heavyTerms" -> heavy.size.toString,
+            "vocabSize" -> vocabRows.length.toString,
             "numShards" -> nShards.toString)))
     }
 
@@ -328,16 +354,19 @@ object IndexBuilder {
     if (!manifest.isComplete("lexicon", fp)) {
       val t0 = System.nanoTime()
       val blocks = spark.read.parquet(cfg.postingsPath)
+      val vocab = spark.read.parquet(cfg.vocabPath).select($"termId", $"term")
       blocks
-        .groupBy($"term")
+        .groupBy($"termId")
         .agg(sum($"count").as("df"), sum($"sumTf").as("cf"),
           count(lit(1)).cast("int").as("nBlocks"),
           max($"maxTfNorm").as("maxTfNorm"))
-        .repartitionByRange(math.max(parts / 4, 1), $"term")
-        .sortWithinPartitions($"term")
+        .join(broadcast(vocab), "termId")
+        .select($"term", $"termId", $"df", $"cf", $"nBlocks", $"maxTfNorm")
+        .repartitionByRange(math.max(parts / 4, 1), $"termId")
+        .sortWithinPartitions($"termId")
         .write.mode("overwrite").parquet(cfg.lexiconPath)
-      val vocab = spark.read.parquet(cfg.lexiconPath).count()
-      manifest.commit(StageRecord("lexicon", "complete", fp, vocab,
+      val vocabN = spark.read.parquet(cfg.lexiconPath).count()
+      manifest.commit(StageRecord("lexicon", "complete", fp, vocabN,
         (System.nanoTime() - t0) / 1000000,
         Map("numDocs" -> numDocs.toString, "avgDl" -> avgDl.toString,
             "totalTokens" -> totalTokens.toString)))

@@ -48,7 +48,13 @@ final case class DocEntry(
   * document `docId` whose length is `dl` tokens. */
 final case class RawPosting(term: String, docId: Long, tf: Int, dl: Int)
 
-/** One encoded posting block (≤ blockSize postings of one (term, shard)).
+/** One encoded posting block (≤ blockSize postings of one (termId, shard)).
+  *
+  * Terms are dictionary-encoded: `termId` is the dense rank of the term
+  * string in the corpus vocabulary (the lexicon maps term -> termId). Int
+  * keys roughly halve postings shuffle bytes and give the sort/partition
+  * machinery numeric keys — the same reason terrier/Lucene key postings by
+  * term id, not term text.
   *
   * Layout of `bytes` (see graft.codec.PostingCodec): VByte(count),
   * VByte(firstDocId), VByte deltas for the remaining docIds (delta ≥ 1),
@@ -62,7 +68,7 @@ final case class RawPosting(term: String, docId: Long, tf: Int, dl: Int)
   * sharded top-k scoring is exact.
   */
 final case class PostingBlockRow(
-    term: String,
+    termId: Int,
     shard: Int,
     blockIdx: Int,
     firstDocId: Long,
@@ -76,6 +82,7 @@ final case class PostingBlockRow(
 /** Lexicon entry: per-term global statistics after segment merge. */
 final case class LexiconEntry(
     term: String,
+    termId: Int,
     df: Long,
     cf: Long,
     nBlocks: Int,

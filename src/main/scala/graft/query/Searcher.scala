@@ -64,7 +64,7 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig) extends Serializable
   /** Lexicon cached once per Searcher (tiny relative to postings). */
   private lazy val lexiconDF = {
     val df = spark.read.parquet(cfg.lexiconPath)
-      .select($"term", $"df", $"maxTfNorm")
+      .select($"term", $"termId", $"df", $"maxTfNorm")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     df.count()
     df
@@ -74,17 +74,18 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig) extends Serializable
   def queryTerms(query: String): Array[String] =
     CodeTokenizer.tokenize(query).distinct.sorted.toArray
 
-  private def lexFor(terms: Array[String]): Map[String, (Long, Double)] =
+  /** term -> (termId, df, maxTfNorm) for the present query terms. */
+  private def lexFor(terms: Array[String]): Map[String, (Int, Long, Double)] =
     lexiconDF
       .filter($"term".isin(terms.toSeq: _*))
-      .as[(String, Long, Double)]
+      .as[(String, Int, Long, Double)]
       .collect()
-      .map { case (t, df, m) => t -> (df, m) }
+      .map { case (t, id, df, m) => t -> (id, df, m) }
       .toMap
 
-  private def blocksFor(terms: Array[String]): Dataset[PostingBlockRow] =
+  private def blocksFor(termIds: Array[Int]): Dataset[PostingBlockRow] =
     spark.read.parquet(cfg.postingsPath)
-      .filter($"term".isin(terms.toSeq: _*))
+      .filter($"termId".isin(termIds.toSeq: _*))
       .as[PostingBlockRow]
 
   /** Full BM25 scores of every matching document (no k cutoff); exact and
@@ -93,20 +94,24 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig) extends Serializable
     val terms = queryTerms(query)
     if (terms.isEmpty) return spark.emptyDataset[ScoredDoc]
     val lex = lexFor(terms)
+    val present = terms.filter(lex.contains)
+    if (present.isEmpty) return spark.emptyDataset[ScoredDoc]
     val n = stats.numDocs
     val avgDl = stats.avgDl
     val k1 = p.k1; val b = p.b
-    // idf * (k1+1) weight per canonical term index
-    val termIdx: Map[String, Int] = terms.zipWithIndex.toMap
-    val w: Map[Int, Double] = terms.zipWithIndex.collect {
-      case (t, i) if lex.contains(t) =>
-        i -> IndexBuilder.idf(n, lex(t)._1) * (k1 + 1.0)
+    // idf * (k1+1) weight per canonical (sorted) term index
+    val w: Map[Int, Double] = present.zipWithIndex.map { case (t, i) =>
+      i -> IndexBuilder.idf(n, lex(t)._2) * (k1 + 1.0)
+    }.toMap
+    // termId -> canonical index
+    val termIdx: Map[Int, Int] = present.zipWithIndex.map { case (t, i) =>
+      lex(t)._1 -> i
     }.toMap
     val wB = spark.sparkContext.broadcast(w)
     val idxB = spark.sparkContext.broadcast(termIdx)
 
-    val postings = blocksFor(terms).flatMap { blk =>
-      val ti = idxB.value(blk.term)
+    val postings = blocksFor(termIdx.keys.toArray).flatMap { blk =>
+      val ti = idxB.value(blk.termId)
       PostingCodec.decodeBlock(blk.bytes).map(pp => (pp.docId, ti, pp.tf))
     }.toDF("docId", "termIdx", "tf")
 
@@ -144,16 +149,18 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig) extends Serializable
     val nShards = cfg.numShards
     // weight and global UB per canonical present-term index
     val weights: Array[Double] =
-      present.map(t => IndexBuilder.idf(n, lex(t)._1) * (k1 + 1.0))
+      present.map(t => IndexBuilder.idf(n, lex(t)._2) * (k1 + 1.0))
     val termUB: Array[Double] =
-      present.indices.map(i => weights(i) * lex(present(i))._2).toArray
-    val idxOf: Map[String, Int] = present.zipWithIndex.toMap
+      present.indices.map(i => weights(i) * lex(present(i))._3).toArray
+    val idxOf: Map[Int, Int] = present.zipWithIndex.map { case (t, i) =>
+      lex(t)._1 -> i
+    }.toMap
     val idxB = spark.sparkContext.broadcast(idxOf)
     val wB = spark.sparkContext.broadcast(weights)
     val ubB = spark.sparkContext.broadcast(termUB)
     val kk = k
 
-    val blocks = blocksFor(present)
+    val blocks = blocksFor(idxOf.keys.toArray)
       .map(blk => (IndexBuilder.shardOf(blk.firstDocId, n, nShards), blk))
       .groupByKey(_._1)
 
@@ -162,7 +169,7 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig) extends Serializable
         // broadcast-norms fast path: no per-query norms shuffle
         val nb = normsBroadcast
         blocks.flatMapGroups { (_, blkIt) =>
-          val byTerm = blkIt.map(_._2).toArray.groupBy(_.term)
+          val byTerm = blkIt.map(_._2).toArray.groupBy(_.termId)
           if (byTerm.isEmpty) Iterator.empty
           else WandShard.topK(byTerm, idxB.value, wB.value, ubB.value,
             nb.value, k1, b, avgDl, kk).iterator
@@ -175,7 +182,7 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig) extends Serializable
         blocks.cogroup(normsByShard) { (_, blkIt, normIt) =>
           val dlMap = new java.util.HashMap[Long, Int]()
           normIt.foreach { case (_, d, dl) => dlMap.put(d, dl) }
-          val byTerm = blkIt.map(_._2).toArray.groupBy(_.term)
+          val byTerm = blkIt.map(_._2).toArray.groupBy(_.termId)
           if (byTerm.isEmpty) Iterator.empty
           else WandShard.topK(byTerm, idxB.value, wB.value, ubB.value,
             dlMap, k1, b, avgDl, kk).iterator
@@ -279,8 +286,8 @@ object WandShard {
   }
 
   def topK(
-      byTerm: Map[String, Array[PostingBlockRow]],
-      idxOf: Map[String, Int],
+      byTerm: Map[Int, Array[PostingBlockRow]],
+      idxOf: Map[Int, Int],
       weights: Array[Double],
       termUB: Array[Double],
       dlMap: java.util.HashMap[Long, Int],
@@ -289,8 +296,8 @@ object WandShard {
     topK(byTerm, idxOf, weights, termUB, d => dlMap.get(d), k1, b, avgDl, k)
 
   def topK(
-      byTerm: Map[String, Array[PostingBlockRow]],
-      idxOf: Map[String, Int],
+      byTerm: Map[Int, Array[PostingBlockRow]],
+      idxOf: Map[Int, Int],
       weights: Array[Double],
       termUB: Array[Double],
       normsArr: Array[Int],
@@ -298,10 +305,10 @@ object WandShard {
       k: Int): Seq[ScoredDoc] =
     topK(byTerm, idxOf, weights, termUB, d => normsArr(d.toInt), k1, b, avgDl, k)
 
-  /** Exact top-k of one shard. `byTerm`: term -> its blocks in this shard. */
+  /** Exact top-k of one shard. `byTerm`: termId -> its blocks in this shard. */
   def topK(
-      byTerm: Map[String, Array[PostingBlockRow]],
-      idxOf: Map[String, Int],
+      byTerm: Map[Int, Array[PostingBlockRow]],
+      idxOf: Map[Int, Int],
       weights: Array[Double],
       termUB: Array[Double],
       dlOf: Long => Int,

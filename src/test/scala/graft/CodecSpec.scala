@@ -62,7 +62,7 @@ class CodecSpec extends AnyFunSuite {
   test("buildBlocks frames at blockSize and keeps consistent block-max metadata") {
     val postings = (0 until 1000).map(i => (i.toLong * 3 + 1, (i % 7) + 1, 100))
     val norm = (tf: Int, dl: Int) => tf.toDouble / (tf + dl)
-    val blocks = PostingCodec.buildBlocks("t", 0, postings, norm, blockSize = 128)
+    val blocks = PostingCodec.buildBlocks(7, 0, postings, norm, blockSize = 128)
     assert(blocks.map(_.count).sum == 1000)
     assert(blocks.init.forall(_.count == 128))
     blocks.foreach { b =>

@@ -73,18 +73,22 @@ class IndexSpec extends AnyFunSuite {
   test("heavy terms were salted across shards (skew defusal engaged)") {
     val m = new Manifest(indexDir)
     assert(m.get("postings").get.extra("heavyTerms").toInt > 0)
+    val ifId = spark.read.parquet(cfg(indexDir).vocabPath)
+      .filter($"term" === "if").select($"termId").as[Int].head()
     val blocks = spark.read.parquet(cfg(indexDir).postingsPath)
-    val shardsOfIf = blocks.filter($"term" === "if")
+    val shardsOfIf = blocks.filter($"termId" === ifId)
       .select(countDistinct($"shard")).as[Long].head()
     assert(shardsOfIf > 1, "term 'if' should span multiple shards")
   }
 
   test("postings round-trip: decoded postings == per-doc term frequencies") {
+    val termOf = spark.read.parquet(cfg(indexDir).vocabPath)
+      .select($"termId", $"term").as[(Int, String)].collect().toMap
     val decoded = spark.read.parquet(cfg(indexDir).postingsPath)
       .as[PostingBlockRow]
       .flatMap(b => graft.codec.PostingCodec.decodeBlock(b.bytes)
-        .map(p => (b.term, p.docId, p.tf)))
-      .collect().toSet
+        .map(p => (b.termId, p.docId, p.tf)))
+      .collect().map { case (id, d, tf) => (termOf(id), d, tf) }.toSet
     val expected = corpusLocal.sortBy(f => (f.repo, f.path, f.commit))
       .zipWithIndex.flatMap { case (f, d) =>
         graft.analysis.CodeTokenizer.termFreqs(f.content)._1
