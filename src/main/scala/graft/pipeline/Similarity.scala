@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.functions.CosineSimilarity.cosineSim
+
 /** Similarity search over the `embeddings` table (vec_id, embedding:
   * array<float>, label).
   *
@@ -34,9 +36,6 @@ object Similarity {
   val LshTables = 8
   val LshBits = 4
 
-  private def dotCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
   val queries: Map[String, Q] = Map(
     "q40_knn_bruteforce" -> ((s, d) => {
       val e = emb(s, d)
@@ -45,9 +44,7 @@ object Similarity {
         .select(col("vec_id").as("query_id"), col("v").as("qv")))
       val pairs = probes.crossJoin(e.filter(col("vec_id") >= NumProbes))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          round(dotCol(col("qv"), col("v")) /
-            (sqrt(dotCol(col("qv"), col("qv"))) * sqrt(dotCol(col("v"), col("v")))),
-            4).as("cos"))
+          round(cosineSim(col("qv"), col("v")), 4).as("cos"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("neighbor_id").asc)
       pairs.withColumn("rk", row_number().over(w).cast("long"))
@@ -94,9 +91,7 @@ object Similarity {
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("qv"), col("v"))
         .dropDuplicates("query_id", "neighbor_id")
         .select(col("query_id"), col("neighbor_id"),
-          round(dotCol(col("qv"), col("v")) /
-            (sqrt(dotCol(col("qv"), col("qv"))) * sqrt(dotCol(col("v"), col("v")))),
-            4).as("cos"))
+          round(cosineSim(col("qv"), col("v")), 4).as("cos"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("neighbor_id").asc)
       cands.withColumn("rk", row_number().over(w).cast("long"))

@@ -312,6 +312,37 @@ object TpchQueries {
         .orderBy(col("event_id"))
     }),
 
+    // --- CSV scan + external-file export (csv_scan_plan_node.h:14-69,
+    //     export_external_file_plan_node.h): write to CSV, read back with an
+    //     explicit schema, aggregate — the roundtrip is lossless (shortest
+    //     round-trip double formatting), so the oracle is the parquet agg
+    "q28_csv_roundtrip" -> ((s, d) => {
+      val o = t(s, d, "orders").filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+      o.write.mode("overwrite").option("header", "true").csv(dir)
+      s.read.option("header", "true")
+        .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+        .csv(dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // --- trigonometric / transcendental functions (builtins.h:146-153)
+    "q29_trig" -> ((s, d) => {
+      t(s, d, "orders").filter(col("o_orderkey") < 50)
+        .select(col("o_orderkey"),
+          round(sin(col("o_totalprice") / 100000.0), 6).as("sin_x"),
+          round(cos(col("o_totalprice") / 100000.0), 6).as("cos_x"),
+          round(tan(col("o_orderkey").cast("double") / 100.0), 6).as("tan_x"),
+          round(atan2(col("o_totalprice"), col("o_orderkey").cast("double") + 1.0), 6).as("atan2_x"),
+          round(degrees(col("o_orderkey").cast("double") / 10.0), 6).as("deg_x"),
+          round(exp(col("o_orderkey").cast("double") / 1000.0), 6).as("exp_x"),
+          round(pow(col("o_orderkey").cast("double"), 1.5), 6).as("pow_x"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // --- rollup (grouping sets; beyond the reference, §2.4)
     "q27_rollup" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -463,6 +494,21 @@ object TpchQueries {
     "q27_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q28_csv_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice),2) AS total
+        |FROM orders WHERE o_orderkey < 500
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q29_trig" ->
+      """SELECT o_orderkey,
+        |  round(sin(o_totalprice/100000.0),6) AS sin_x,
+        |  round(cos(o_totalprice/100000.0),6) AS cos_x,
+        |  round(tan(CAST(o_orderkey AS DOUBLE)/100.0),6) AS tan_x,
+        |  round(atan2(o_totalprice, CAST(o_orderkey AS DOUBLE)+1.0),6) AS atan2_x,
+        |  round(degrees(CAST(o_orderkey AS DOUBLE)/10.0),6) AS deg_x,
+        |  round(exp(CAST(o_orderkey AS DOUBLE)/1000.0),6) AS exp_x,
+        |  round(pow(CAST(o_orderkey AS DOUBLE),1.5),6) AS pow_x
+        |FROM orders WHERE o_orderkey < 50 ORDER BY o_orderkey""".stripMargin
   )
 }
