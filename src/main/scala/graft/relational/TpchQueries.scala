@@ -319,7 +319,9 @@ object TpchQueries {
     "q28_csv_roundtrip" -> ((s, d) => {
       val o = t(s, d, "orders").filter(col("o_orderkey") < 500)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+      // stable per-dataset path (overwritten each run — no tmp-dir litter)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-csv-" +
+        d.replaceAll("[^a-zA-Z0-9]", "_")
       o.write.mode("overwrite").option("header", "true").csv(dir)
       s.read.option("header", "true")
         .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")

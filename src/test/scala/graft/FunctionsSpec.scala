@@ -26,13 +26,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(native.toSeq == composed.toSeq) // bit-identical, same fold order
   }
 
-  test("cosine_similarity null/zero handling") {
+  test("cosine_similarity null/zero/mismatch handling (zip_with semantics)") {
     val df = Seq(
-      (Some(Array(0.0, 0.0)), Some(Array(1.0, 2.0))), // zero norm -> null
-      (None, Some(Array(1.0, 2.0)))                   // null input -> null
+      (Some(Array(0.0, 0.0)), Some(Array(1.0, 2.0))),      // zero norm -> null
+      (None, Some(Array(1.0, 2.0))),                       // null input -> null
+      (Some(Array(1.0, 2.0, 3.0)), Some(Array(1.0, 2.0)))  // length mismatch -> null
     ).toDF("a", "b")
     val out = df.select(cosineSim($"a", $"b")).collect()
     assert(out.forall(_.isNullAt(0)))
+  }
+
+  test("cosine_similarity rejects non-double arrays at analysis time") {
+    CosineSimilarity.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT cosine_similarity(array(1, 2), array(2, 1))").collect()
+    }
+    assert(e.getMessage.contains("ARRAY<DOUBLE>") ||
+      e.getMessage.toLowerCase.contains("type"), e.getMessage)
   }
 
   test("cosine_similarity works under whole-stage codegen and via SQL") {
