@@ -23,7 +23,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TpchQueries.queries ++ TextPipeline.queries ++ Similarity.queries ++
-      Multimodal.queries ++ IndexQueries.queries
+      Similarity.extraQueries ++ Multimodal.queries ++ IndexQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops

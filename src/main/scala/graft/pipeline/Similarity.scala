@@ -100,7 +100,38 @@ object Similarity {
     })
   )
 
+  // ~99th percentile of pair cosines in this corpus (max observed ≈ 0.49):
+  // high enough to be a near-dup cut, low enough to be non-empty at every sf
+  private val embDedupThreshold = 0.30
+
+  val extraQueries: Map[String, Q] = Map(
+    // --- embedding-cosine near-duplicate detection (dedup family): pairs
+    //     above a cosine threshold, sampled every 4th vector; candidate
+    //     generation at scale = the LSH bucketing of q41, exact re-check here
+    "q42_embedding_dedup" -> ((s, d) => {
+      val e = emb(s, d).filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val a = e.select(col("vec_id").as("a"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("b"), col("v").as("vb"))
+      a.join(b, col("a") < col("b"))
+        .select(col("a"), col("b"),
+          round(cosineSim(col("va"), col("vb")), 4).as("cos"))
+        .filter(col("cos") >= embDedupThreshold)
+        .orderBy(col("a"), col("b"))
+    })
+  )
+
   val oracles: Map[String, String] = Map(
+    "q42_embedding_dedup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings WHERE vec_id % 4 = 0)
+         |SELECT a.vec_id AS a, b.vec_id AS b,
+         |  round(list_dot_product(a.v, b.v) /
+         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE round(list_dot_product(a.v, b.v) /
+         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= $embDedupThreshold
+         |ORDER BY a, b""".stripMargin,
     "q40_knn_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |probes AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumProbes),

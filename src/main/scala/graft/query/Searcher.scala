@@ -83,8 +83,22 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig) extends Serializable
       .map { case (t, id, df, m) => t -> (id, df, m) }
       .toMap
 
+  /** Postings cached in memory when the index is small/hot (≤ 1M block
+    * rows ≈ a few hundred MB); larger indexes stay on parquet where the
+    * termId filter prunes row groups via min/max stats. */
+  private lazy val postingsDF = {
+    val df = spark.read.parquet(cfg.postingsPath)
+    val nBlocks = new graft.checkpoint.Manifest(cfg.indexDir)
+      .get("postings").map(_.rows).getOrElse(Long.MaxValue)
+    if (nBlocks <= 1000000L) {
+      val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      c.count()
+      c
+    } else df
+  }
+
   private def blocksFor(termIds: Array[Int]): Dataset[PostingBlockRow] =
-    spark.read.parquet(cfg.postingsPath)
+    postingsDF
       .filter($"termId".isin(termIds.toSeq: _*))
       .as[PostingBlockRow]
 

@@ -345,12 +345,34 @@ object TpchQueries {
         .orderBy(col("o_orderkey"))
     }),
 
-    // --- rollup (grouping sets; beyond the reference, §2.4)
+    // --- rollup (grouping sets; beyond the reference, §2.4) + NULL
+    //     predicates (is_null_predicate.h, builtins.h:11-12) over the
+    //     rollup's generated nulls
     "q27_rollup" -> ((s, d) => {
       t(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"))
+        .withColumn("is_grand_total",
+          col("l_returnflag").isNull && col("l_linestatus").isNull)
+        .withColumn("is_subtotal",
+          col("l_returnflag").isNotNull && col("l_linestatus").isNull)
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // --- correlated scalar subquery (LogicalDependentJoin
+    //     logical_operators.h:358, unnesting_rules.h) through the SQL-string
+    //     entry point (the reference's entry point A, traffic_cop.cpp:248):
+    //     each customer's priciest order; max() is order-insensitive so the
+    //     cross-engine compare is exact
+    "q61_correlated_subquery" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_q61")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM orders_q61 o
+          |WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+          |                      FROM orders_q61 o2
+          |                      WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
     })
   )
 
@@ -494,9 +516,18 @@ object TpchQueries {
         |FROM events WHERE CAST(json_extract_string(props,'$.k') AS BIGINT) >= 50
         |ORDER BY event_id""".stripMargin,
     "q27_rollup" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS n
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  l_returnflag IS NULL AND l_linestatus IS NULL AS is_grand_total,
+        |  l_returnflag IS NOT NULL AND l_linestatus IS NULL AS is_subtotal
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q61_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+        |                      FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q28_csv_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice),2) AS total
