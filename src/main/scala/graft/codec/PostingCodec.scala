@@ -114,6 +114,26 @@ object PostingCodec {
     out.result()
   }
 
+  /** Rebase a block's docIds by `delta` WITHOUT decoding the postings:
+    * only the absolute firstDocId is stored — the deltas and tfs that
+    * follow are base-independent, so the tail bytes are copied verbatim.
+    * This is what makes segment merges O(bytes) with no re-encoding. */
+  def shiftBlockBase(bytes: Array[Byte], delta: Long): Array[Byte] = {
+    val pos = Array(0)
+    val count = VByte.decode(bytes, pos)
+    val afterCount = pos(0)
+    val firstDocId = VByte.decode(bytes, pos)
+    val afterFirst = pos(0)
+    val out = mutable.ArrayBuilder.make[Byte]
+    out.sizeHint(bytes.length + 2)
+    var i = 0
+    while (i < afterCount) { out += bytes(i); i += 1 }
+    VByte.encode(firstDocId + delta, out)
+    i = afterFirst
+    while (i < bytes.length) { out += bytes(i); i += 1 }
+    out.result()
+  }
+
   /** Streaming block decoder used by the scorers: invokes `f(docId, tf)` per
     * posting without materializing a collection. */
   def foreachPosting(bytes: Array[Byte])(f: (Long, Int) => Unit): Unit = {

@@ -121,7 +121,7 @@ object IndexBuilder {
   /** Bumped whenever the on-disk index layout or stage semantics change:
     * part of every stage fingerprint, so resume never reuses output written
     * by an incompatible builder version. */
-  val FormatVersion = 3
+  val FormatVersion = 4
 
   @inline def shardOf(docId: Long, numDocs: Long, numShards: Int): Int = {
     val s = ((docId * numShards) / math.max(numDocs, 1L)).toInt
@@ -218,10 +218,16 @@ object IndexBuilder {
     def forwardWithIds = loadForward(spark, cfg)
 
     // ---- stage 2: docs (projection; terms/tfs pruned at the reader) --------
+    // `shard` is MATERIALIZED here (not recomputed at query time): the shard
+    // mapping is an index property frozen at write time, so appended
+    // segments can carry their own shard ranges without remapping old docs.
     if (!manifest.isComplete("docs", fp)) {
       val t0 = System.nanoTime()
+      val nDocsV = numDocs; val nShardsV = cfg.numShards
+      val shardUdf = udf((d: Long) => shardOf(d, nDocsV, nShardsV))
       forwardWithIds
-        .select($"docId", $"repo", $"path", $"commit", $"lang", $"dl", $"sha")
+        .select($"docId", $"repo", $"path", $"commit", $"lang", $"dl", $"sha",
+          shardUdf($"docId").as("shard"))
         .write.mode("overwrite").parquet(cfg.docsPath)
       manifest.commit(StageRecord("docs", "complete", fp, numDocs,
         (System.nanoTime() - t0) / 1000000,
@@ -347,7 +353,10 @@ object IndexBuilder {
         (System.nanoTime() - t0) / 1000000,
         Map("heavyTerms" -> heavy.size.toString,
             "vocabSize" -> vocabRows.length.toString,
-            "numShards" -> nShards.toString)))
+            "numShards" -> nShards.toString,
+            // block-max metadata was computed with THIS avgdl; queries after
+            // appends scale UBs by avgdlNow/min(avgDlAtBuild) to stay exact
+            "avgDlAtBuild" -> avgDl.toString)))
     }
 
     // ---- stage 4: lexicon + stats ------------------------------------------
@@ -413,6 +422,117 @@ object IndexBuilder {
       }
       def next(): T = it.next()
     }
+
+  /** Append a batch of new documents to an existing index as a new segment
+    * (batch-incremental indexing; the reference's durability model is WAL
+    * replay — ours is segment append + manifest commit, the Lucene/terrier
+    * segment-merge shape).
+    *
+    * Mechanics: the batch is built as a standalone sub-index under
+    * indexDir/segments/segN (full pipeline, checkpointed), then merged by
+    * OFFSET: docIds shift by the current corpus size (keeping ids dense and
+    * deterministic given batch order), stored shard ids shift into a fresh
+    * range (so per-shard WAND grouping stays exact — a doc's postings all
+    * live in its segment's shards), new terms extend the vocabulary with ids
+    * after the existing ones, and posting blocks are rebased byte-wise
+    * (PostingCodec.shiftBlockBase — no re-encoding). The lexicon is
+    * recomputed; block-max bounds from older segments stay valid via the
+    * avgdl scale correction in Searcher (manifest records avgDlAtBuild per
+    * segment).
+    *
+    * Note: the docs/postings file appends are not atomic (plain parquet);
+    * a production deployment swaps this for an Iceberg/TableOps-style
+    * snapshot commit. */
+  def append(spark: SparkSession, batch: Dataset[SourceFile],
+      cfg: IndexConfig, fingerprint: String = ""): CorpusStats = {
+    import spark.implicits._
+    val manifest = new Manifest(cfg.indexDir)
+    val st = stats(cfg)
+    val base = st.numDocs
+    val appendIdx = manifest.read().keys.count(_.startsWith("append-"))
+    val shardBase = (appendIdx + 1) * cfg.numShards
+    val t0 = System.nanoTime()
+
+    // 1) standalone sub-index for the batch
+    val subCfg = cfg.copy(indexDir = s"${cfg.indexDir}/segments/seg$appendIdx")
+    val subStats = build(spark, batch, subCfg,
+      if (fingerprint.nonEmpty) fingerprint else s"append$appendIdx")
+
+    // 2) merged vocabulary: existing termIds are immutable; new terms get
+    //    ids after them, ranked by term string (deterministic)
+    val oldVocab = spark.read.parquet(cfg.vocabPath)
+      .select($"termId", $"term").as[(Int, String)].collect()
+    val oldIdOf = oldVocab.map { case (id, t) => t -> id }.toMap
+    val subVocab = spark.read.parquet(subCfg.vocabPath)
+      .select($"termId", $"term").as[(Int, String)].collect()
+    val newTerms = subVocab.map(_._2).filterNot(oldIdOf.contains).sorted
+    val newIdOf = newTerms.zipWithIndex
+      .map { case (t, i) => t -> (oldVocab.length + i) }.toMap
+    val subToGlobal: Map[Int, Int] = subVocab.map { case (sid, t) =>
+      sid -> oldIdOf.getOrElse(t, newIdOf(t))
+    }.toMap
+    val mergedVocab = (oldVocab.map { case (id, t) => (id, t) } ++
+      newTerms.map(t => (newIdOf(t), t))).sortBy(_._1)
+    mergedVocab.toSeq.toDF("termId", "term")
+      .coalesce(1).write.mode("overwrite").parquet(s"${cfg.indexDir}/vocab_new")
+    // swap (vocab df is no longer needed by anything mid-append)
+    val vp = java.nio.file.Paths.get(cfg.vocabPath)
+    val vtmp = java.nio.file.Paths.get(s"${cfg.indexDir}/vocab_new")
+    org.apache.commons.io.FileUtils.deleteDirectory(vp.toFile)
+    java.nio.file.Files.move(vtmp, vp)
+
+    // 3) docs: shift docId + shard, append
+    spark.read.parquet(subCfg.docsPath)
+      .withColumn("docId", $"docId" + base)
+      .withColumn("shard", $"shard" + shardBase)
+      .write.mode("append").parquet(cfg.docsPath)
+
+    // 4) postings: remap termId via broadcast, shift shard + doc base
+    //    byte-wise, append
+    val mapB = spark.sparkContext.broadcast(subToGlobal)
+    val baseV = base; val shardBaseV = shardBase
+    spark.read.parquet(subCfg.postingsPath).as[PostingBlockRow]
+      .map { blk =>
+        blk.copy(
+          termId = mapB.value(blk.termId),
+          shard = blk.shard + shardBaseV,
+          firstDocId = blk.firstDocId + baseV,
+          lastDocId = blk.lastDocId + baseV,
+          bytes = PostingCodec.shiftBlockBase(blk.bytes, baseV))
+      }
+      .write.mode("append").parquet(cfg.postingsPath)
+
+    // 5) lexicon: recompute from the merged postings + vocabulary
+    val parts = if (cfg.buildPartitions > 0) cfg.buildPartitions
+      else spark.sparkContext.defaultParallelism
+    val vocabDF = spark.read.parquet(cfg.vocabPath).select($"termId", $"term")
+    spark.read.parquet(cfg.postingsPath)
+      .groupBy($"termId")
+      .agg(sum($"count").as("df"), sum($"sumTf").as("cf"),
+        count(lit(1)).cast("int").as("nBlocks"),
+        max($"maxTfNorm").as("maxTfNorm"))
+      .join(broadcast(vocabDF), "termId")
+      .select($"term", $"termId", $"df", $"cf", $"nBlocks", $"maxTfNorm")
+      .repartitionByRange(math.max(parts / 4, 1), $"termId")
+      .sortWithinPartitions($"termId")
+      .write.mode("overwrite").parquet(cfg.lexiconPath)
+    val vocabN = spark.read.parquet(cfg.lexiconPath).count()
+
+    // 6) manifest: segment record + refreshed global stats
+    val numDocs = base + subStats.numDocs
+    val totalTokens = st.totalTokens + subStats.totalTokens
+    val avgDl = totalTokens.toDouble / math.max(numDocs, 1L)
+    manifest.commit(StageRecord(s"append-$appendIdx", "complete",
+      s"v$FormatVersion:append$appendIdx", subStats.numDocs,
+      (System.nanoTime() - t0) / 1000000,
+      Map("docIdBase" -> base.toString, "shardBase" -> shardBase.toString,
+          "avgDlAtBuild" -> subStats.avgDl.toString)))
+    manifest.commit(StageRecord("lexicon", "complete",
+      s"v$FormatVersion:append$appendIdx", vocabN, 0L,
+      Map("numDocs" -> numDocs.toString, "avgDl" -> avgDl.toString,
+          "totalTokens" -> totalTokens.toString)))
+    CorpusStats(numDocs, avgDl, totalTokens, vocabN)
+  }
 
   /** Stats of an already-built index (no build triggered). */
   def stats(cfg: IndexConfig): CorpusStats = {

@@ -36,6 +36,17 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig) extends Serializable
   val stats: CorpusStats = IndexBuilder.stats(cfg)
   private val p = cfg.bm25
 
+  /** Block-max upper bounds were computed with the avgdl at each segment's
+    * write time; appends raise the corpus avgdl, which raises true tf-norms.
+    * norm(a_new)/norm(a_old) <= a_new/a_old, so scaling stored bounds by
+    * avgdlNow / min(avgDlAtBuild) keeps WAND pruning exact (only looser). */
+  private lazy val ubScale: Double = {
+    val m = new graft.checkpoint.Manifest(cfg.indexDir).read()
+    val builds = m.values.flatMap(_.extra.get("avgDlAtBuild")).map(_.toDouble)
+    if (builds.isEmpty) 1.0
+    else math.max(1.0, stats.avgDl / builds.min)
+  }
+
   /** Doc-length (norms) table, persisted once per Searcher: every query
     * needs it and it is small relative to postings (one int per doc — the
     * analogue of Lucene's norms file). At cluster scale this is a cached
@@ -165,41 +176,44 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig) extends Serializable
     val weights: Array[Double] =
       present.map(t => IndexBuilder.idf(n, lex(t)._2) * (k1 + 1.0))
     val termUB: Array[Double] =
-      present.indices.map(i => weights(i) * lex(present(i))._3).toArray
+      present.indices.map(i => weights(i) * lex(present(i))._3 * ubScale).toArray
     val idxOf: Map[Int, Int] = present.zipWithIndex.map { case (t, i) =>
       lex(t)._1 -> i
     }.toMap
     val idxB = spark.sparkContext.broadcast(idxOf)
     val wB = spark.sparkContext.broadcast(weights)
     val ubB = spark.sparkContext.broadcast(termUB)
+    val scaleB = spark.sparkContext.broadcast(ubScale)
     val kk = k
 
-    val blocks = blocksFor(idxOf.keys.toArray)
-      .map(blk => (IndexBuilder.shardOf(blk.firstDocId, n, nShards), blk))
-      .groupByKey(_._1)
+    // group blocks by their STORED shard (an index property frozen at write
+    // time): every doc's postings for all terms share one segment and thus
+    // one shard id, so per-shard WAND stays exact even across appended
+    // segments whose docId ranges have their own shard ids
+    val blocks = blocksFor(idxOf.keys.toArray).groupByKey(_.shard)
 
     val local: Dataset[ScoredDoc] =
       if (stats.numDocs <= BroadcastNormsMaxDocs) {
         // broadcast-norms fast path: no per-query norms shuffle
         val nb = normsBroadcast
         blocks.flatMapGroups { (_, blkIt) =>
-          val byTerm = blkIt.map(_._2).toArray.groupBy(_.termId)
+          val byTerm = blkIt.toArray.groupBy(_.termId)
           if (byTerm.isEmpty) Iterator.empty
           else WandShard.topK(byTerm, idxB.value, wB.value, ubB.value,
-            nb.value, k1, b, avgDl, kk).iterator
+            nb.value, k1, b, avgDl, kk, scaleB.value).iterator
         }
       } else {
-        // cluster-scale path: norms cogrouped by docId shard
-        val normsByShard = norms
-          .map { case (d, dl) => (IndexBuilder.shardOf(d, n, nShards), d, dl) }
+        // cluster-scale path: norms cogrouped by the docs table's stored shard
+        val normsByShard = spark.read.parquet(cfg.docsPath)
+          .select($"shard", $"docId", $"dl").as[(Int, Long, Int)]
           .groupByKey(_._1)
         blocks.cogroup(normsByShard) { (_, blkIt, normIt) =>
           val dlMap = new java.util.HashMap[Long, Int]()
           normIt.foreach { case (_, d, dl) => dlMap.put(d, dl) }
-          val byTerm = blkIt.map(_._2).toArray.groupBy(_.termId)
+          val byTerm = blkIt.toArray.groupBy(_.termId)
           if (byTerm.isEmpty) Iterator.empty
           else WandShard.topK(byTerm, idxB.value, wB.value, ubB.value,
-            dlMap, k1, b, avgDl, kk).iterator
+            dlMap, k1, b, avgDl, kk, scaleB.value).iterator
         }
       }
 
@@ -229,7 +243,8 @@ object WandShard {
       val termIdx: Int,
       blocks: Array[PostingBlockRow],
       val weight: Double,
-      val ub: Double) {
+      val ub: Double,
+      val ubScale: Double) {
     private var bi = 0
     private var docIds: Array[Long] = _
     private var tfs: Array[Int] = _
@@ -241,7 +256,7 @@ object WandShard {
     loadPosting()
 
     def blockMaxScore(k1: Double, dummy: Double): Double =
-      weight * blocks(bi).maxTfNorm
+      weight * blocks(bi).maxTfNorm * ubScale
 
     private def decodeCurrent(): Unit = {
       if (bi >= blocks.length) { alive = false; return }
@@ -306,8 +321,9 @@ object WandShard {
       termUB: Array[Double],
       dlMap: java.util.HashMap[Long, Int],
       k1: Double, b: Double, avgDl: Double,
-      k: Int): Seq[ScoredDoc] =
-    topK(byTerm, idxOf, weights, termUB, d => dlMap.get(d), k1, b, avgDl, k)
+      k: Int, ubScale: Double): Seq[ScoredDoc] =
+    topK(byTerm, idxOf, weights, termUB, d => dlMap.get(d), k1, b, avgDl, k,
+      ubScale)
 
   def topK(
       byTerm: Map[Int, Array[PostingBlockRow]],
@@ -316,8 +332,9 @@ object WandShard {
       termUB: Array[Double],
       normsArr: Array[Int],
       k1: Double, b: Double, avgDl: Double,
-      k: Int): Seq[ScoredDoc] =
-    topK(byTerm, idxOf, weights, termUB, d => normsArr(d.toInt), k1, b, avgDl, k)
+      k: Int, ubScale: Double): Seq[ScoredDoc] =
+    topK(byTerm, idxOf, weights, termUB, d => normsArr(d.toInt), k1, b, avgDl,
+      k, ubScale)
 
   /** Exact top-k of one shard. `byTerm`: termId -> its blocks in this shard. */
   def topK(
@@ -327,11 +344,12 @@ object WandShard {
       termUB: Array[Double],
       dlOf: Long => Int,
       k1: Double, b: Double, avgDl: Double,
-      k: Int): Seq[ScoredDoc] = {
+      k: Int, ubScale: Double): Seq[ScoredDoc] = {
 
     val cursors: Array[Cursor] = byTerm.toArray.map { case (t, blks) =>
       val ti = idxOf(t)
-      new Cursor(ti, blks.sortBy(_.firstDocId), weights(ti), termUB(ti))
+      new Cursor(ti, blks.sortBy(_.firstDocId), weights(ti), termUB(ti),
+        ubScale)
     }
 
     // min-heap of the current top-k ordered worst-first:
