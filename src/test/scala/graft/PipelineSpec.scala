@@ -41,6 +41,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.05, "LSH found no brute-force neighbors at all")
   }
 
+  test("q42 LSH-bucketed dedup has 100% recall vs the exact threshold join") {
+    // q42's DuckDB oracle is the EXACT all-pairs threshold join, so the
+    // bucketed candidate generation must not miss a single qualifying pair
+    // at the test scales — this is the invariant that keeps q42's oracle
+    // valid (VERDICT r1 fix #4). Recompute the exact join here with the
+    // same cosine expression and compare sets.
+    import graft.functions.CosineSimilarity.cosineSim
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter($"vec_id" % 4 === 0)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val a = e.select($"vec_id".as("a"), $"v".as("va"))
+    val b = e.select($"vec_id".as("b"), $"v".as("vb"))
+    val exact = a.join(b, $"a" < $"b")
+      .select($"a", $"b", round(cosineSim($"va", $"vb"), 4).as("cos"))
+      .filter($"cos" >= 0.30)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val bucketed = Similarity.extraQueries("q42_embedding_dedup")(spark, sf)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(bucketed == exact,
+      s"missed ${(exact -- bucketed).size}, spurious ${(bucketed -- exact).size}")
+  }
+
   test("media frame sampling is deterministic and bounded") {
     val frames = Multimodal.queries("q46_media_frames")(spark, sf)
     val perDoc = frames.groupBy($"doc_id").count()

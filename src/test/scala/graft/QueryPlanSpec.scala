@@ -52,6 +52,37 @@ class QueryPlanSpec extends AnyFunSuite {
       s"expected partial+final HashAggregate:\n$p")
   }
 
+  test("q42: embedding dedup has NO cartesian/nested-loop join (LSH bucket equi-join)") {
+    val p = graft.pipeline.Similarity.extraQueries("q42_embedding_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q42 candidate generation is all-pairs:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join in q42:\n$p")
+  }
+
+  test("q63: TPC-H Q5 broadcasts the dims, shuffles only the spine") {
+    val p = plan("q63_tpch_q5")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"dims not broadcast in:\n$p")
+  }
+
+  test("q65: runtime bloom filter is injected on the probe side") {
+    // InjectRuntimeFilter only fires for probably-shuffle joins
+    // (isProbablyShuffleJoin consults canBroadcastBySize): at sf0.001 both
+    // sides broadcast, so emulate at-scale sizes by disabling auto-broadcast
+    // for this plan — exactly the regime where the filter pays off at 100 TB
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = TpchQueries.queries("q65_bloom_join")(spark, sf)
+      df.collect() // AQE: final plan only materializes on execution
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("might_contain") ||
+        p.contains("BloomFilter"), s"no bloom filter injected:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q01: whole-stage codegen covers the agg pipeline") {
     // AQE only materializes the final plan (with codegen spans) on execution
     val df = TpchQueries.queries("q01_pricing_summary")(spark, sf)
