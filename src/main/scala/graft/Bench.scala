@@ -106,7 +106,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","gb_per_hour":$gbPerHour%.3f,"index_build_60k_sec":$tBig%.2f,"bm25_p50_ms":$p50%.2f,"bm25_p95_ms":$p95%.2f,"corpus_bytes":$corpusBytes,"big_corpus_bytes":$bigBytes,"cpus":$cpus}""")
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","gb_per_hour":$gbPerHour%.3f,"index_build_60k_sec":$tBig%.2f,"bm25_p50_ms":$p50%.2f,"bm25_p95_ms":$p95%.2f,"corpus_bytes":$corpusBytes,"big_corpus_bytes":$bigBytes,"cpus":$cpus}"""
+    println(json)
+    // also write the line to a file: the stdout line lands inside sbt [info]
+    // noise, so machine consumers (BENCH_r{N}.json "parsed") read this copy
+    try {
+      val out = java.nio.file.Paths.get("BENCH/last_run.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, json + "\n")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write BENCH/last_run.json: $e")
+    }
     spark.stop()
   }
 }

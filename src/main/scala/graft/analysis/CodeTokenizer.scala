@@ -27,6 +27,18 @@ object CodeTokenizer {
     (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_' ||
       (c >= 'A' && c <= 'Z')
 
+  /** ASCII-only case fold — an intentional, DOCUMENTED input contract:
+    * the SQL oracle twins (Spark `lower`, DuckDB `lower`) apply full
+    * Unicode lowercasing before splitting, which agrees with this fold
+    * exactly on ASCII input but diverges on the handful of non-ASCII
+    * characters whose Unicode lowercase contains ASCII letters (U+212A
+    * KELVIN SIGN → 'k', 'İ' → 'i'+combining dot): there the SQL side
+    * keeps an extra letter while this tokenizer treats the character as a
+    * separator. Oracle parity (TokenizerSpec, q30-q36, q50-q54) therefore
+    * assumes ASCII corpora — true for the generated code corpus and the
+    * driver's documents table. A deployment over arbitrary Unicode text
+    * must either strip non-ASCII on both sides or switch both sides to
+    * the same Unicode fold. */
   @inline private def toLowerAscii(c: Char): Char =
     if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
 

