@@ -94,8 +94,9 @@ object ScalingBench {
     val thr8 = gb / (t8 / 3600.0)
     val thr32 = gb / (t32 / 3600.0)
     val eff = (thr32 / thr8) / 4.0
-    def st(m: Map[String, Long]) = Seq("forward", "docs", "postings", "lexicon")
-      .map(k => s""""$k":${m.getOrElse(k, -1L)}""").mkString("{", ",", "}")
+    def st(m: Map[String, Long]) =
+      Seq("keymap", "forward", "docs", "postings", "lexicon")
+        .map(k => s""""$k":${m.getOrElse(k, -1L)}""").mkString("{", ",", "}")
     val json =
       f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","num_files":$numFiles,"corpus_gb":$gb%.3f,"cores_n":$loCores,"cores_4n":$hiCores,"build_sec_n":$t8%.2f,"build_sec_4n":$t32%.2f,"gb_per_hour_n":$thr8%.3f,"gb_per_hour_4n":$thr32%.3f,"rank_identical_across_parallelism":$identical,"stage_ms_n":${st(r8run.stageMs)},"stage_ms_4n":${st(r32run.stageMs)}}"""
     println(json)

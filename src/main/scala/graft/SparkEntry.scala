@@ -4,6 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.entry.IndexQueries
 import graft.pipeline.{Multimodal, Similarity, TextPipeline}
 import graft.relational.TpchQueries
+import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,12 +24,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TpchQueries.queries ++ TextPipeline.queries ++ Similarity.queries ++
-      Similarity.extraQueries ++ Multimodal.queries ++ IndexQueries.queries
+      Similarity.extraQueries ++ Multimodal.queries ++ IndexQueries.queries ++
+      StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (q37 simhash, q41 lsh-ann, q46 media frames) → rows-only check. */
   def oracleSql: Map[String, String] =
     TpchQueries.oracles ++ TextPipeline.oracles ++ Similarity.oracles ++
-      Multimodal.oracles ++ IndexQueries.oracles
+      Multimodal.oracles ++ IndexQueries.oracles ++ StreamingOps.oracles
 }

@@ -269,95 +269,13 @@ object IndexBuilder {
         s
       }
 
-      val heavyB = spark.sparkContext.broadcast(heavy)
-      val nShards = cfg.numShards
-      val nDocs = numDocs
-      val blockSize = cfg.blockSize
-      val bm25 = cfg.bm25
-      val avgDlV = avgDl
-
-      // termIds reach the postings via a shuffle join on the term string
-      // (when the vocab fits executor memory, AQE turns this into a
-      // broadcast join — the small-corpus fast path falls out for free)
-      val vocabIds = spark.read.parquet(cfg.vocabPath)
-        .select($"termId", $"term")
-      val salted = forwardWithIds
-        .select($"docId", $"dl",
-          explode(arrays_zip($"terms", $"tfs")).as("tz"))
-        .select(col("tz.terms").as("term"), $"docId",
-          col("tz.tfs").as("tf"), $"dl")
-        .join(vocabIds, "term")
-        .select($"termId", $"docId", $"tf", $"dl")
-        .as[(Int, Long, Int, Int)]
-        .map { case (tid, docId, tf, dl) =>
-          val salt =
-            if (heavyB.value.contains(tid)) shardOf(docId, nDocs, nShards)
-            else 0
-          (tid, salt, docId, tf, dl)
-        }
-        .toDF("termId", "salt", "docId", "tf", "dl")
-
-      // 4× tasks per core: smaller per-task sort runs (better cache
-      // behavior, bounded task memory) and finer skew smoothing — the same
-      // sizing rule a cluster deployment uses (~128 MB sort runs per task)
-      val blocks = salted
-        .repartition(parts * 4, $"termId", $"salt")
-        .sortWithinPartitions($"termId", $"salt", $"docId")
-        .as[(Int, Int, Long, Int, Int)]
-        .mapPartitions { it =>
-          val pid = TaskContext.getPartitionId()
-          val pt0 = System.nanoTime()
-          var rows = 0L; var bytesOut = 0L
-          // Stream runs of equal termId — never materialize a full term's
-          // postings: emit a block whenever 1) blockSize postings buffered,
-          // 2) the docId shard changes, or 3) the term changes. At most
-          // blockSize postings are ever buffered per partition.
-          new Iterator[PostingBlockRow] {
-            private val base = it.buffered
-            private var blockIdx = 0
-            private var lastTerm = Int.MinValue
-            private var metricsEmitted = false
-            private val buf =
-              scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
-
-            def hasNext: Boolean = {
-              val h = base.hasNext
-              if (!h && !metricsEmitted) {
-                metricsAcc.add(PartitionMetric("postings", pid, rows, rows,
-                  bytesOut, (System.nanoTime() - pt0) / 1000000))
-                metricsEmitted = true
-              }
-              h
-            }
-
-            def next(): PostingBlockRow = {
-              val termId = base.head._1
-              val shard = shardOf(base.head._3, nDocs, nShards)
-              if (termId != lastTerm) { blockIdx = 0; lastTerm = termId }
-              buf.clear()
-              var continue = true
-              while (continue && base.hasNext && buf.length < blockSize) {
-                val (t, _, d, tf, dl) = base.head
-                if (t == termId && shardOf(d, nDocs, nShards) == shard) {
-                  buf += ((d, tf, dl)); rows += 1; base.next()
-                } else continue = false
-              }
-              val b = PostingCodec.buildBlocks(termId, shard, buf.toSeq,
-                (tf, dl) => tfNorm(tf, dl, avgDlV, bm25), blockSize)
-                .head.copy(blockIdx = blockIdx)
-              blockIdx += 1
-              bytesOut += b.bytes.length
-              b
-            }
-          }
-        }
-      blocks.write.mode("overwrite").parquet(cfg.postingsPath)
-      val nb = spark.read.parquet(cfg.postingsPath).count()
+      val nb = encodePostings(spark, forwardWithIds, heavy, numDocs, avgDl,
+        cfg, parts, metricsAcc, cfg.postingsPath)
       manifest.commit(StageRecord("postings", "complete", fp, nb,
         (System.nanoTime() - t0) / 1000000,
         Map("heavyTerms" -> heavy.size.toString,
             "vocabSize" -> vocabN.toString,
-            "numShards" -> nShards.toString,
+            "numShards" -> cfg.numShards.toString,
             // block-max metadata was computed with THIS avgdl; queries after
             // appends scale UBs by avgdlNow/min(avgDlAtBuild) to stay exact
             "avgDlAtBuild" -> avgDl.toString)))
@@ -366,19 +284,8 @@ object IndexBuilder {
     // ---- stage 4: lexicon + stats ------------------------------------------
     if (!manifest.isComplete("lexicon", fp)) {
       val t0 = System.nanoTime()
-      val blocks = spark.read.parquet(cfg.postingsPath)
-      val vocab = spark.read.parquet(cfg.vocabPath).select($"termId", $"term")
-      blocks
-        .groupBy($"termId")
-        .agg(sum($"count").as("df"), sum($"sumTf").as("cf"),
-          count(lit(1)).cast("int").as("nBlocks"),
-          max($"maxTfNorm").as("maxTfNorm"))
-        .join(broadcast(vocab), "termId")
-        .select($"term", $"termId", $"df", $"cf", $"nBlocks", $"maxTfNorm")
-        .repartitionByRange(math.max(parts / 4, 1), $"termId")
-        .sortWithinPartitions($"termId")
-        .write.mode("overwrite").parquet(cfg.lexiconPath)
-      val vocabN = spark.read.parquet(cfg.lexiconPath).count()
+      val vocabN = writeLexicon(spark, cfg.postingsPath, cfg.vocabPath,
+        cfg.lexiconPath, parts)
       manifest.commit(StageRecord("lexicon", "complete", fp, vocabN,
         (System.nanoTime() - t0) / 1000000,
         Map("numDocs" -> numDocs.toString, "avgDl" -> avgDl.toString,
@@ -404,6 +311,219 @@ object IndexBuilder {
     if (new Manifest(cfg.indexDir).get("forward").isEmpty)
       throw new IllegalStateException(s"forward stage missing in ${cfg.indexDir}")
     spark.read.parquet(cfg.forwardPath)
+  }
+
+  /** The salted postings-encode pipeline (build stage 3 and compact share
+    * it): explode the forward index, join dense termIds on the term string
+    * (AQE broadcasts the vocab when it is small), salt heavy terms by docId
+    * shard, shuffle on (termId, salt), and stream-encode delta+VByte blocks
+    * that never span a shard boundary. Returns the block count. */
+  private def encodePostings(spark: SparkSession,
+      forwardDF: org.apache.spark.sql.DataFrame,
+      heavy: java.util.HashSet[Integer], numDocs: Long, avgDl: Double,
+      cfg: IndexConfig, parts: Int,
+      metricsAcc: CollectionAccumulator[PartitionMetric],
+      outPath: String): Long = {
+    import spark.implicits._
+    val nShards = cfg.numShards
+    val nDocs = numDocs
+    val blockSize = cfg.blockSize
+    val bm25 = cfg.bm25
+    val avgDlV = avgDl
+
+    val vocabIds = spark.read.parquet(cfg.vocabPath)
+      .select($"termId", $"term")
+    // salt as a pure column expression (In/InSet over ≤ maxHeavyTerms ids +
+    // integer-division shard), NOT a typed lambda: the explode → join →
+    // salt → exchange map side stays inside one whole-stage-codegen span —
+    // no tuple ser/de per posting row. shardExpr mirrors shardOf exactly
+    // (integral DIV, clamped).
+    import scala.jdk.CollectionConverters._
+    val heavyIds: Seq[Int] = heavy.asScala.map(_.intValue).toSeq
+    // NB: Column `/` is floating division — DIV keeps it integral like
+    // Scala Long division in shardOf
+    val shardExpr = least(greatest(
+      expr(s"CAST((docId * $nShards) DIV ${math.max(nDocs, 1L)} AS INT)"),
+      lit(0)), lit(nShards - 1))
+    val saltExpr =
+      if (heavyIds.isEmpty) lit(0)
+      else when($"termId".isin(heavyIds: _*), shardExpr).otherwise(lit(0))
+    val salted = forwardDF
+      .select($"docId", $"dl",
+        explode(arrays_zip($"terms", $"tfs")).as("tz"))
+      .select(col("tz.terms").as("term"), $"docId",
+        col("tz.tfs").as("tf"), $"dl")
+      .join(vocabIds, "term")
+      .select($"termId", saltExpr.as("salt"), $"docId", $"tf", $"dl")
+
+    // 4× tasks per core: smaller per-task sort runs (better cache
+    // behavior, bounded task memory) and finer skew smoothing — the same
+    // sizing rule a cluster deployment uses (~128 MB sort runs per task)
+    val blocks = salted
+      .repartition(parts * 4, $"termId", $"salt")
+      .sortWithinPartitions($"termId", $"salt", $"docId")
+      .as[(Int, Int, Long, Int, Int)]
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        val pt0 = System.nanoTime()
+        var rows = 0L; var bytesOut = 0L
+        // Stream runs of equal termId — never materialize a full term's
+        // postings: emit a block whenever 1) blockSize postings buffered,
+        // 2) the docId shard changes, or 3) the term changes. At most
+        // blockSize postings are ever buffered per partition.
+        new Iterator[PostingBlockRow] {
+          private val base = it.buffered
+          private var blockIdx = 0
+          private var lastTerm = Int.MinValue
+          private var metricsEmitted = false
+          private val buf =
+            scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+
+          def hasNext: Boolean = {
+            val h = base.hasNext
+            if (!h && !metricsEmitted) {
+              metricsAcc.add(PartitionMetric("postings", pid, rows, rows,
+                bytesOut, (System.nanoTime() - pt0) / 1000000))
+              metricsEmitted = true
+            }
+            h
+          }
+
+          def next(): PostingBlockRow = {
+            val termId = base.head._1
+            val shard = shardOf(base.head._3, nDocs, nShards)
+            if (termId != lastTerm) { blockIdx = 0; lastTerm = termId }
+            buf.clear()
+            var continue = true
+            while (continue && base.hasNext && buf.length < blockSize) {
+              val (t, _, d, tf, dl) = base.head
+              if (t == termId && shardOf(d, nDocs, nShards) == shard) {
+                buf += ((d, tf, dl)); rows += 1; base.next()
+              } else continue = false
+            }
+            val b = PostingCodec.buildBlocks(termId, shard, buf.toSeq,
+              (tf, dl) => tfNorm(tf, dl, avgDlV, bm25), blockSize)
+              .head.copy(blockIdx = blockIdx)
+            blockIdx += 1
+            bytesOut += b.bytes.length
+            b
+          }
+        }
+      }
+    blocks.write.mode("overwrite").parquet(outPath)
+    spark.read.parquet(outPath).count()
+  }
+
+  /** Per-term stats aggregated from block metadata → lexicon parquet,
+    * range-partitioned and sorted by termId. Returns the term count. */
+  private def writeLexicon(spark: SparkSession, postingsPath: String,
+      vocabPath: String, outPath: String, parts: Int): Long = {
+    import spark.implicits._
+    val vocab = spark.read.parquet(vocabPath).select($"termId", $"term")
+    spark.read.parquet(postingsPath)
+      .groupBy($"termId")
+      .agg(sum($"count").as("df"), sum($"sumTf").as("cf"),
+        count(lit(1)).cast("int").as("nBlocks"),
+        max($"maxTfNorm").as("maxTfNorm"))
+      .join(vocab, "termId") // AQE broadcasts when the vocab is small
+      .select($"term", $"termId", $"df", $"cf", $"nBlocks", $"maxTfNorm")
+      .repartitionByRange(math.max(parts / 4, 1), $"termId")
+      .sortWithinPartitions($"termId")
+      .write.mode("overwrite").parquet(outPath)
+    spark.read.parquet(outPath).count()
+  }
+
+  /** Compact a multi-segment index back to the single-segment layout.
+    *
+    * Appends leave (a) per-segment shard ranges — a k-segment index has
+    * k×numShards shard groups, so WAND runs k× more shard tasks — and
+    * (b) per-term block fragmentation across segments. Compaction rebuilds
+    * docs/postings/lexicon from the UNION of the segment forward indexes
+    * (no source content touched, nothing re-tokenized): docIds are
+    * unchanged (still the global dense ranks), the shard mapping is
+    * recomputed over the merged doc space, heavy terms are re-detected
+    * from the authoritative lexicon df, and block-max bounds are recomputed
+    * with the merged avgdl (so the Searcher's ubScale correction returns to
+    * 1). The Lucene/terrier segment-merge shape (SURVEY.md §7.4).
+    *
+    * Output dirs are staged and swapped; a crash mid-swap is recovered the
+    * same way as append's vocab window (stage dirs are rebuilt idempotently
+    * on retry since no live dir is deleted until its replacement is fully
+    * written). */
+  def compact(spark: SparkSession, cfg: IndexConfig): CorpusStats = {
+    import spark.implicits._
+    val manifest = new Manifest(cfg.indexDir)
+    val st = stats(cfg)
+    val metricsAcc: CollectionAccumulator[PartitionMetric] =
+      spark.sparkContext.collectionAccumulator[PartitionMetric]("graft.metrics")
+    val parts = if (cfg.buildPartitions > 0) cfg.buildPartitions
+      else spark.sparkContext.defaultParallelism
+    val t0 = System.nanoTime()
+
+    // union of forward indexes with global docIds (segment forwards are
+    // 0-based; shift by each segment's recorded docIdBase)
+    val appends = manifest.read().toSeq
+      .filter(_._1.matches("append-\\d+"))
+      .sortBy(_._1.stripPrefix("append-").toInt)
+    var fw = spark.read.parquet(cfg.forwardPath)
+    appends.foreach { case (name, rec) =>
+      val idx = name.stripPrefix("append-").toInt
+      val base = rec.extra("docIdBase").toLong
+      fw = fw.unionByName(
+        spark.read.parquet(s"${cfg.indexDir}/segments/seg$idx/forward")
+          .withColumn("docId", $"docId" + base))
+    }
+
+    // fresh global shard mapping + docs table
+    val nDocsV = st.numDocs; val nShardsV = cfg.numShards
+    val shardUdf = udf((d: Long) => shardOf(d, nDocsV, nShardsV))
+    val docsNew = s"${cfg.indexDir}/docs_compact"
+    fw.select($"docId", $"repo", $"path", $"commit", $"lang", $"dl", $"sha",
+        shardUdf($"docId").as("shard"))
+      .write.mode("overwrite").parquet(docsNew)
+
+    // heavy terms from the authoritative (merged) lexicon df
+    val heavy: java.util.HashSet[Integer] = {
+      val s = new java.util.HashSet[Integer]()
+      spark.read.parquet(cfg.lexiconPath)
+        .filter($"df" > cfg.heavyDfThreshold)
+        .orderBy($"df".desc, $"term".asc)
+        .limit(cfg.maxHeavyTerms)
+        .select($"termId").as[Int].collect()
+        .foreach(id => s.add(id))
+      s
+    }
+    val postingsNew = s"${cfg.indexDir}/postings_compact"
+    val nb = encodePostings(spark, fw, heavy, st.numDocs, st.avgDl, cfg,
+      parts, metricsAcc, postingsNew)
+    val lexiconNew = s"${cfg.indexDir}/lexicon_compact"
+    val vocabN = writeLexicon(spark, postingsNew, cfg.vocabPath, lexiconNew,
+      parts)
+
+    // swap all three (new dirs fully written before any live dir is touched)
+    def swap(tmp: String, live: String): Unit = {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(live))
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+        java.nio.file.Paths.get(live))
+    }
+    swap(docsNew, cfg.docsPath)
+    swap(postingsNew, cfg.postingsPath)
+    swap(lexiconNew, cfg.lexiconPath)
+
+    val compactIdx = manifest.read().keys.count(_.startsWith("compact-"))
+    manifest.commit(StageRecord(s"compact-$compactIdx", "complete",
+      s"v$FormatVersion:compact$compactIdx", nb,
+      (System.nanoTime() - t0) / 1000000,
+      Map("numShards" -> cfg.numShards.toString,
+          // post-compact bounds use the merged avgdl: ubScale must not
+          // keep scaling by stale per-segment avgdls
+          "avgDlAtBuild" -> st.avgDl.toString,
+          "compactedSegments" -> (appends.size + 1).toString)))
+    manifest.commit(StageRecord("lexicon", "complete",
+      s"v$FormatVersion:compact$compactIdx", vocabN, 0L,
+      Map("numDocs" -> st.numDocs.toString, "avgDl" -> st.avgDl.toString,
+          "totalTokens" -> st.totalTokens.toString)))
+    CorpusStats(st.numDocs, st.avgDl, st.totalTokens, vocabN)
   }
 
   /** Dense lexicographic rank assignment WITHOUT a driver-side collect of
@@ -598,18 +718,8 @@ object IndexBuilder {
     //    (idempotent — a crash mid-overwrite re-runs this step entirely)
     val parts = if (cfg.buildPartitions > 0) cfg.buildPartitions
       else spark.sparkContext.defaultParallelism
-    val vocabDF = spark.read.parquet(cfg.vocabPath).select($"termId", $"term")
-    spark.read.parquet(cfg.postingsPath)
-      .groupBy($"termId")
-      .agg(sum($"count").as("df"), sum($"sumTf").as("cf"),
-        count(lit(1)).cast("int").as("nBlocks"),
-        max($"maxTfNorm").as("maxTfNorm"))
-      .join(vocabDF, "termId") // AQE broadcasts when the vocab is small
-      .select($"term", $"termId", $"df", $"cf", $"nBlocks", $"maxTfNorm")
-      .repartitionByRange(math.max(parts / 4, 1), $"termId")
-      .sortWithinPartitions($"termId")
-      .write.mode("overwrite").parquet(cfg.lexiconPath)
-    val vocabN = spark.read.parquet(cfg.lexiconPath).count()
+    val vocabN = writeLexicon(spark, cfg.postingsPath, cfg.vocabPath,
+      cfg.lexiconPath, parts)
 
     // 6) manifest: segment record + refreshed global stats
     val numDocs = base + subStats.numDocs

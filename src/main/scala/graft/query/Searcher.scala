@@ -30,7 +30,9 @@ import graft.model._
   *     top-k's merge to an exact global top-k (terrier's parallel top-k
   *     sorter shape, sorter.cpp:332).
   */
-final class Searcher(spark: SparkSession, cfg: IndexConfig) extends Serializable {
+final class Searcher(spark: SparkSession, cfg: IndexConfig,
+    localServeMaxBlocks: Long = Searcher.DefaultLocalServeMaxBlocks)
+    extends Serializable {
   import spark.implicits._
 
   val stats: CorpusStats = IndexBuilder.stats(cfg)
@@ -65,11 +67,44 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig) extends Serializable
     * strategy switch Spark applies for broadcast vs shuffle joins. */
   val BroadcastNormsMaxDocs: Long = 10000000L
 
-  private lazy val normsBroadcast
-      : org.apache.spark.broadcast.Broadcast[Array[Int]] = {
+  private lazy val normsLocalArr: Array[Int] = {
     val arr = new Array[Int](stats.numDocs.toInt)
     norms.collect().foreach { case (d, dl) => arr(d.toInt) = dl }
-    spark.sparkContext.broadcast(arr)
+    arr
+  }
+
+  private lazy val normsBroadcast
+      : org.apache.spark.broadcast.Broadcast[Array[Int]] =
+    spark.sparkContext.broadcast(normsLocalArr)
+
+  /** Driver-local serving cache. The north-rule headline includes top-k p50
+    * LATENCY; at small/hot index sizes a distributed WAND query is pure
+    * Spark job-scheduling overhead (~2 jobs ≈ hundreds of ms), so when the
+    * whole postings set fits a bounded driver budget the query runs fully
+    * in-process — the regime the single-node reference actually serves —
+    * with the IDENTICAL WandShard algorithm per shard and the identical
+    * merge, so results are bit-for-bit the same as the distributed path
+    * (pinned by IndexSpec). Above the budget (any real cluster corpus)
+    * every query takes the distributed path unchanged. */
+  private final case class LocalServe(
+      byTerm: Map[Int, Map[Int, Array[graft.model.PostingBlockRow]]],
+      lexicon: Map[String, (Int, Long, Double)])
+
+  private lazy val localServe: Option[LocalServe] = {
+    val nBlocks = new graft.checkpoint.Manifest(cfg.indexDir)
+      .get("postings").map(_.rows).getOrElse(Long.MaxValue)
+    if (nBlocks <= localServeMaxBlocks &&
+        stats.numDocs <= BroadcastNormsMaxDocs) {
+      val blocks = spark.read.parquet(cfg.postingsPath)
+        .as[PostingBlockRow].collect()
+      val byTerm = blocks.groupBy(_.termId)
+        .map { case (tid, bs) => tid -> bs.groupBy(_.shard) }
+      val lex = spark.read.parquet(cfg.lexiconPath)
+        .select($"term", $"termId", $"df", $"maxTfNorm")
+        .as[(String, Int, Long, Double)].collect()
+        .map { case (t, id, df, m) => t -> (id, df, m) }.toMap
+      Some(LocalServe(byTerm, lex))
+    } else None
   }
 
   /** Lexicon cached once per Searcher (tiny relative to postings). */
@@ -85,14 +120,20 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig) extends Serializable
   def queryTerms(query: String): Array[String] =
     CodeTokenizer.tokenize(query).distinct.sorted.toArray
 
-  /** term -> (termId, df, maxTfNorm) for the present query terms. */
+  /** term -> (termId, df, maxTfNorm) for the present query terms. Served
+    * from the driver-local lexicon when localServe is active (no job). */
   private def lexFor(terms: Array[String]): Map[String, (Int, Long, Double)] =
-    lexiconDF
-      .filter($"term".isin(terms.toSeq: _*))
-      .as[(String, Int, Long, Double)]
-      .collect()
-      .map { case (t, id, df, m) => t -> (id, df, m) }
-      .toMap
+    localServe match {
+      case Some(ls) =>
+        terms.iterator.flatMap(t => ls.lexicon.get(t).map(t -> _)).toMap
+      case None =>
+        lexiconDF
+          .filter($"term".isin(terms.toSeq: _*))
+          .as[(String, Int, Long, Double)]
+          .collect()
+          .map { case (t, id, df, m) => t -> (id, df, m) }
+          .toMap
+    }
 
   /** Postings cached in memory when the index is small/hot (≤ 1M block
     * rows ≈ a few hundred MB); larger indexes stay on parquet where the
@@ -180,6 +221,26 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig) extends Serializable
     val idxOf: Map[Int, Int] = present.zipWithIndex.map { case (t, i) =>
       lex(t)._1 -> i
     }.toMap
+    // ---- driver-local serving fast path (no Spark job; see localServe) ----
+    localServe.foreach { ls =>
+      // assemble per-shard (termId -> blocks) for the query terms; shards
+      // partition the doc space, so per-shard WAND + global merge is exact
+      val perShard = scala.collection.mutable.Map
+        .empty[Int, scala.collection.mutable.Map[Int, Array[PostingBlockRow]]]
+      idxOf.keysIterator.foreach { tid =>
+        ls.byTerm.getOrElse(tid, Map.empty).foreach { case (sh, blks) =>
+          perShard.getOrElseUpdate(sh,
+            scala.collection.mutable.Map.empty) += (tid -> blks)
+        }
+      }
+      val all = perShard.valuesIterator.flatMap { byTerm =>
+        WandShard.topK(byTerm.toMap, idxOf, weights, termUB, normsLocalArr,
+          k1, b, avgDl, k, ubScale).iterator
+      }.toArray
+      // same total order as the distributed orderBy: score DESC, docId ASC
+      return all.sortBy(sd => (-sd.score, sd.docId)).take(k)
+    }
+
     val idxB = spark.sparkContext.broadcast(idxOf)
     val wB = spark.sparkContext.broadcast(weights)
     val ubB = spark.sparkContext.broadcast(termUB)
@@ -232,6 +293,13 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig) extends Serializable
       .filter($"srcSha".isNull || $"srcSha" =!= $"sha")
       .count()
   }
+}
+
+object Searcher {
+  /** Local-serving budget: total posting-block rows the driver will cache
+    * for in-process queries (~0.5 KB/block ⇒ ~128 MB at the default). Any
+    * index above it — every real cluster corpus — serves distributed. */
+  val DefaultLocalServeMaxBlocks: Long = 262144L
 }
 
 /** Sequential WAND over one docId shard (runs inside one task). */

@@ -501,6 +501,22 @@ object TpchQueries {
           count(lit(1)).as("n_lines"))
     }),
 
+    // --- snapshot time travel (reference: MVCC versioned reads,
+    //     data_table.h:191-207 version chains; Spark-native equivalent =
+    //     immutable snapshot versions): mutate a managed table, then read
+    //     BOTH the historical v0 and the current version — if time travel
+    //     leaked the mutation into v0, the oracle catches it.
+    "q67_time_travel" -> ((s, d) => {
+      val ops = freshTable(s, d, "q67")
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      ops.create("t", o.filter(col("o_orderkey") < 500))
+      ops.delete("t", col("o_orderstatus") === "F")
+      val v0 = ops.readVersion("t", 0).withColumn("v", lit(0L))
+      val v1 = ops.read("t").withColumn("v", lit(1L))
+      v0.unionByName(v1).orderBy(col("v"), col("o_orderkey"))
+    }),
+
     // --- runtime Bloom-filter join (reference pushes a bloom filter from
     //     the hash-join build side, execution/sql/join_hash_table.h /
     //     bloom_filter.cpp): Spark's runtime bloom filter injects a
@@ -750,6 +766,15 @@ object TpchQueries {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07
         |  AND l_quantity < 24.0""".stripMargin,
+    "q67_time_travel" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CAST(0 AS BIGINT) AS v FROM orders
+        |WHERE o_orderkey < 500
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CAST(1 AS BIGINT) AS v FROM orders
+        |WHERE o_orderkey < 500 AND o_orderstatus <> 'F'
+        |ORDER BY v, o_orderkey""".stripMargin,
     "q65_bloom_join" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_extendedprice), 2) AS volume

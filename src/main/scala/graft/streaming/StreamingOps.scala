@@ -67,9 +67,13 @@ object StreamingOps {
   }
 
   /** Drive a finite parquet table through a streaming query into a memory
-    * sink and return the result (test/demo harness: batch-as-stream). */
-  def runToMemory(spark: SparkSession, dir: String, name: String)
-      : DataFrame = {
+    * sink and return the result (test/demo harness: batch-as-stream).
+    * `mode`: "append" emits only watermark-finalized windows (the unbounded
+    * production shape); "complete" emits every window — over a finite table
+    * that equals the batch answer exactly, which is what gives q66 its SQL
+    * oracle. */
+  def runToMemory(spark: SparkSession, dir: String, name: String,
+      mode: String = "append"): DataFrame = {
     // FileStreamSource wants a directory of files — stage the single-file
     // table into a temp dir (what a real deployment's landing zone is)
     val batch = spark.read.parquet(s"$dir/events.parquet")
@@ -79,11 +83,30 @@ object StreamingOps {
     val stream = spark.readStream.schema(batch.schema)
       .parquet(s"$staged/in")
     val q = hourlyAgg(stream).writeStream
-      .outputMode("append")
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .start()
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Driver-contract entry: the streaming windowed aggregation over the
+    * events table (stateful incremental agg through a memory sink), pinned
+    * to the same SQL oracle as its batch twin. */
+  val queries: Map[String, Q] = Map(
+    "q66_stream_hourly" -> ((s, d) => {
+      runToMemory(s, d, s"q66_${math.abs(d.hashCode)}", mode = "complete")
+        .orderBy(col("hr"), col("event_type"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q66_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hr, event_type,
+        |  count(*) AS n, round(sum(value),2) AS total
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+  )
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.countDistinct
 
 import graft.corpus.CorpusGen
 import graft.index.{IndexBuilder, IndexConfig}
@@ -131,7 +132,7 @@ class AppendSpec extends AnyFunSuite {
     }
   }
 
-  test("second append keeps extending (multi-segment)") {
+  test("second append keeps extending (multi-segment); compaction restores single-segment layout") {
     import spark.implicits._
     val dir = TestSpark.tmpDir("graft-append2")
     val c = cfg(dir)
@@ -146,5 +147,25 @@ class AppendSpec extends AnyFunSuite {
     Seq("if return", "hash join", "scan sort").foreach { q =>
       assert(s.searchWAND(q, 10).toVector == oracle3.topK(q, 10), s"'$q'")
     }
+
+    // --- compaction: 3 segments (3 × numShards shard groups) → 1
+    val shardsBefore = spark.read.parquet(c.postingsPath)
+      .select(countDistinct($"shard")).as[Long].head()
+    val stC = IndexBuilder.compact(spark, c)
+    assert(stC.numDocs == 600)
+    val shardsAfter = spark.read.parquet(c.postingsPath)
+      .select(countDistinct($"shard")).as[Long].head()
+    assert(shardsAfter <= c.numShards && shardsAfter < shardsBefore,
+      s"compaction did not consolidate shards ($shardsBefore -> $shardsAfter)")
+    // results identical after compaction (fresh Searcher: stats changed)
+    val sC = new Searcher(spark, c)
+    queries.foreach { q =>
+      assert(sC.searchWAND(q, 10).toVector == oracle3.topK(q, 10),
+        s"compaction changed results for '$q'")
+      assert(sC.searchTAAT(q, 10).toVector == oracle3.topK(q, 10),
+        s"compaction broke TAAT for '$q'")
+    }
+    // lineage still intact across the rebuilt docs table
+    assert(sC.verifyLineage((base ++ batch ++ batch2).toDS()) == 0L)
   }
 }

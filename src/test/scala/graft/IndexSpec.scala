@@ -132,6 +132,19 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed WAND == driver-local serving WAND (exact scores)") {
+    // localServeMaxBlocks=0 forces every query down the distributed
+    // flatMapGroups path; the default serves this small index in-process.
+    // Both must be bit-identical to each other and to the oracle.
+    val distributed = new Searcher(spark, cfg(indexDir), localServeMaxBlocks = 0L)
+    refQueries.foreach { q =>
+      val d = distributed.searchWAND(q, 10).toVector
+      val l = searcher.searchWAND(q, 10).toVector
+      assert(d == l, s"local/distributed divergence for '$q'")
+      assert(l == oracle.topK(q, 10), s"oracle mismatch for '$q'")
+    }
+  }
+
   test("rank parity holds at a different shuffle parallelism (N vs 4N proxy)") {
     val dir2 = TestSpark.tmpDir("graft-index2")
     val old = spark.conf.get("spark.sql.shuffle.partitions")

@@ -83,6 +83,20 @@ class QueryPlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("sort-based aggregation engages for non-hashable buffer types (SURVEY §2 row 24)") {
+    // The reference has a sort group-by next to its hash group-by
+    // (aggregate_util.h). In Spark the fallback is automatic: aggregation
+    // buffers that aren't mutable-hash-compatible (here min over a struct)
+    // plan as SortAggregate instead of HashAggregate.
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(min(struct(col("l_quantity"), col("l_orderkey"))).as("min_pair"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortAggregate"), s"expected SortAggregate:\n$p")
+    assert(df.count() > 0)
+  }
+
   test("q01: whole-stage codegen covers the agg pipeline") {
     // AQE only materializes the final plan (with codegen spans) on execution
     val df = TpchQueries.queries("q01_pricing_summary")(spark, sf)
