@@ -164,29 +164,52 @@ object TextPipeline {
     //     so results are unchanged at every test sf — the cut is pure
     //     scale insurance).
     "q36_ngram_jaccard" -> ((s, d) => {
+      // doc → distinct 3-shingles as a typed flatMap over CodeTokenizer
+      // (the engine's UDTF shape; tokenizer parity with the SQL twin is
+      // pinned by TokenizerSpec). Expression formulations measured worse
+      // here: nested zip_with costs ~1.9 s of one-time Janino compilation,
+      // and a transform(sequence)/element_at lambda gets the tokenization
+      // expression INLINED PER ELEMENT by CollapseProject — O(tokens²)/row.
+      import s.implicits._
       val exploded = docs(s, d).filter(col("doc_id") % 10 === 0)
-        .withColumn("toks", tokensCol(col("text")))
-        .withColumn("sh", array_distinct(zip_with(
-          slice(col("toks"), lit(1), greatest(size(col("toks")) - 2, lit(0))),
-          zip_with(
-            slice(col("toks"), lit(2), greatest(size(col("toks")) - 2, lit(0))),
-            slice(col("toks"), lit(3), greatest(size(col("toks")) - 2, lit(0))),
-            (x, y) => concat(x, lit(" "), y)),
-          (x, y) => concat(x, lit(" "), y))))
-        .select(col("doc_id"), col("lang"), col("source"),
-          explode(col("sh")).as("shingle"))
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .as[(Long, String, String, String)]
+        .flatMap { case (id, lang, source, text) =>
+          val toks = CodeTokenizer.tokenize(text)
+          val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+          var i = 0
+          while (i + 2 < toks.length) {
+            seen += s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}"
+            i += 1
+          }
+          seen.iterator.map(sh => (id, lang, source, sh))
+        }
+        .toDF("doc_id", "lang", "source", "shingle")
+      // df-cut and per-doc counts as window aggregates over ONE lineage,
+      // then pairs by grouping each shingle's (≤ ShingleDfCut) doc list and
+      // expanding combinations — NO self-join: a self-join here defeats
+      // exchange reuse and re-executes the whole tokenize→explode→window
+      // chain per side (measured 3.5× slower). Within a shingle the
+      // expansion is ≤ C(ShingleDfCut, 2) pairs — the quadratic term is
+      // hard-bounded, which is the whole point of the df-cut.
       val kept = exploded
         .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
         .filter(col("df") <= ShingleDfCut)
         .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-        .select(col("doc_id"), col("lang"), col("source"), col("shingle"),
-          col("n_sh"))
-      val a = kept.select(col("lang"), col("source"), col("shingle"),
-        col("doc_id").as("a"), col("n_sh").as("na"))
-      val b = kept.select(col("lang"), col("source"), col("shingle"),
-        col("doc_id").as("b"), col("n_sh").as("nb"))
-      a.join(b, Seq("lang", "source", "shingle"))
-        .filter(col("a") < col("b"))
+        .select(col("lang"), col("source"), col("shingle"),
+          col("doc_id"), col("n_sh"))
+      kept
+        .groupBy(col("lang"), col("source"), col("shingle"))
+        .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ds"))
+        .select(col("ds")).as[Seq[(Long, Long)]]
+        .flatMap { ds =>
+          val sorted = ds.sortBy(_._1)
+          for {
+            i <- sorted.indices.iterator
+            j <- (i + 1) until sorted.length
+          } yield (sorted(i)._1, sorted(j)._1, sorted(i)._2, sorted(j)._2)
+        }
+        .toDF("a", "b", "na", "nb")
         .groupBy(col("a"), col("b"), col("na"), col("nb"))
         .agg(count(lit(1)).as("inter"))
         .select(col("a"), col("b"),
