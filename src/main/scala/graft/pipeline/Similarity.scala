@@ -132,13 +132,15 @@ object Similarity {
       val sigs = lshSignatures(s, sampled, DedupLshTables, DedupLshBits)
       val l = sigs.select(col("bucket"), col("vec_id").as("a"), col("v").as("va"))
       val r = sigs.select(col("bucket"), col("vec_id").as("b"), col("v").as("vb"))
+      // cosine computed BEFORE the dedup: a pair duplicated across L tables
+      // recomputes a cheap dot product, but the dedup shuffle then moves
+      // (a, b, cos) instead of two 64-dim vectors per row (~100× narrower)
       l.join(r, Seq("bucket"))
         .filter(col("a") < col("b"))
-        .select(col("a"), col("b"), col("va"), col("vb"))
-        .dropDuplicates("a", "b")
         .select(col("a"), col("b"),
           round(cosineSim(col("va"), col("vb")), 4).as("cos"))
         .filter(col("cos") >= embDedupThreshold)
+        .dropDuplicates("a", "b")
         .orderBy(col("a"), col("b"))
     })
   )
