@@ -53,11 +53,18 @@ object Similarity {
     }),
 
     "q41_knn_lsh" -> ((s, d) => {
+      // probe signatures computed from ONLY the probe vectors: the LSH
+      // signature flatMap is a typed op, so a filter AFTER it does not push
+      // into the scan — deriving probes from the full sigs lineage ran the
+      // whole signature pass twice (once per join side)
       val sigs = lshSignatures(s,
-        emb(s, d).select(col("vec_id"), col("embedding")), LshTables, LshBits)
-      val probes = broadcast(sigs.filter(col("vec_id") < NumProbes)
+        emb(s, d).filter(col("vec_id") >= NumProbes)
+          .select(col("vec_id"), col("embedding")), LshTables, LshBits)
+      val probes = broadcast(lshSignatures(s,
+        emb(s, d).filter(col("vec_id") < NumProbes)
+          .select(col("vec_id"), col("embedding")), LshTables, LshBits)
         .select(col("vec_id").as("query_id"), col("bucket"), col("v").as("qv")))
-      val cands = probes.join(sigs.filter(col("vec_id") >= NumProbes), "bucket")
+      val cands = probes.join(sigs, "bucket")
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("qv"), col("v"))
         .dropDuplicates("query_id", "neighbor_id")
         .select(col("query_id"), col("neighbor_id"),

@@ -138,19 +138,28 @@ object TextPipeline {
       val sig = base.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
       // bands of 2 rows: bucket key = (band, mh_{2b}, mh_{2b+1}); a single
       // explode instead of a 4-way union so the signature aggregation runs
-      // once, not once per band per join side
+      // once. Candidate pairs by grouping each bucket's doc list and
+      // expanding combinations — a bucket SELF-JOIN defeats exchange reuse
+      // and runs the whole md5+minhash aggregation once per side (measured
+      // on q36's identical shape). At production scale a bucket-size cap is
+      // the standard extra dial before the expansion.
+      import s.implicits._
       val bandArr = array((0 until MinhashBands).map { b =>
         struct(lit(b).as("band"), col(s"mh${2 * b}").as("k1"),
           col(s"mh${2 * b + 1}").as("k2"))
       }: _*)
-      val bands = sig.select(col("doc_id"), explode(bandArr).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"),
-          col("bk.k1").as("k1"), col("bk.k2").as("k2"))
-      val l = bands.select(col("band"), col("k1"), col("k2"), col("doc_id").as("a"))
-      val r = bands.select(col("band"), col("k1"), col("k2"), col("doc_id").as("b"))
-      l.join(r, Seq("band", "k1", "k2"))
-        .filter(col("a") < col("b"))
-        .select(col("a"), col("b")).distinct()
+      sig.select(col("doc_id"), explode(bandArr).as("bk"))
+        .groupBy(col("bk.band"), col("bk.k1"), col("bk.k2"))
+        .agg(collect_list(col("doc_id")).as("ds"))
+        .select(col("ds")).as[Seq[Long]]
+        .flatMap { ds =>
+          val sorted = ds.sorted
+          for {
+            i <- sorted.indices.iterator
+            j <- (i + 1) until sorted.length
+          } yield (sorted(i), sorted(j))
+        }
+        .toDF("a", "b").distinct()
         .orderBy(col("a"), col("b"))
     }),
 
