@@ -67,8 +67,33 @@ object IndexQueries {
     })
 
   /** BM25 over the documents table through the whole index pipeline,
-    * mapped back to doc_id. */
+    * mapped back to doc_id.
+    *
+    * Scoring goes through the serving path (sharded Block-Max WAND;
+    * driver-local for small/hot indexes) rather than full TAAT scoring:
+    * top-(3k+20) is fetched by EXACT score, then re-sorted by the ROUNDED
+    * score the oracle orders on — the margin covers rounding ties at the
+    * k boundary (doc_id order == docId rank order for this corpus, so the
+    * tie-break keys agree). Bm25PathSpec pins this against the full
+    * scoreAll ranking. */
   def bm25(s: SparkSession, dir: String, query: String, k: Int): DataFrame = {
+    import s.implicits._
+    val cfg = indexFor(s, dir)
+    val searcher = new Searcher(s, cfg)
+    val top = searcher.searchWAND(query, 3 * k + 20)
+    val scored = s.createDataset(top.toSeq).toDF()
+    val docmap = s.read.parquet(cfg.docsPath)
+      .select(col("docId"), col("path").cast("long").as("doc_id"))
+    scored.join(docmap, "docId")
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** The round-1 full-scoring formulation (TAAT over every matching doc) —
+    * kept as the cross-check twin for bm25()'s WAND serving path. */
+  def bm25FullScore(s: SparkSession, dir: String, query: String,
+      k: Int): DataFrame = {
     val cfg = indexFor(s, dir)
     val searcher = new Searcher(s, cfg)
     val scored = searcher.scoreAll(query).toDF()
