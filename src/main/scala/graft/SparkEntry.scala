@@ -29,7 +29,8 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (q37 simhash, q41 lsh-ann, q46 media frames) → rows-only check. */
+    * (q37 simhash, q41 lsh-ann, q43 ivf-ann, q46 media frames) →
+    * rows-only check. */
   def oracleSql: Map[String, String] =
     TpchQueries.oracles ++ TextPipeline.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ IndexQueries.oracles ++ StreamingOps.oracles

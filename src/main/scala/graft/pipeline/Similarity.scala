@@ -36,7 +36,61 @@ object Similarity {
   val LshTables = 8
   val LshBits = 4
 
+  val IvfLists = 16
+  val IvfProbes = 4
+
   val queries: Map[String, Q] = Map(
+    // --- IVF-style ANN: nList cells around deterministic data-vector
+    //     centroids; queries probe the nProbe nearest cells, exact cosine
+    //     re-rank inside. The scale shape: assignment is one bounded map
+    //     (≤ nList dot products/row), candidates come from a cell
+    //     equi-join — never all-pairs. Rows-only driver check (centroid
+    //     selection is not reasonably SQL-expressible); recall vs brute
+    //     force pinned in PipelineSpec.
+    "q43_knn_ivf" -> ((s, d) => {
+      import s.implicits._
+      val e = emb(s, d)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val n = e.count()
+      val step = math.max(n / IvfLists, 1L)
+      // centroids: every step-th vector (deterministic spread over the id
+      // space); ≤ IvfLists rows — a bounded, scale-safe collect
+      val cents: Array[(Int, Array[Double])] = e
+        .filter(col("vec_id") % step === 0 && col("vec_id") / step < IvfLists)
+        .as[(Long, Seq[Double])].collect()
+        .sortBy(_._1).zipWithIndex
+        .map { case ((_, v), i) => (i, v.toArray) }
+      val centB = s.sparkContext.broadcast(cents)
+      def cosLocal(a: Array[Double], b: Seq[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length && i < b.length) {
+          dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        if (na == 0.0 || nb == 0.0) -2.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      def nearestCells(v: Seq[Double], k: Int): Seq[Int] =
+        centB.value.map { case (ci, c) => (ci, cosLocal(c, v)) }
+          .sortBy { case (ci, sim) => (-sim, ci) }.take(k).map(_._1).toSeq
+      val assigned = e.as[(Long, Seq[Double])]
+        .map { case (id, v) => (id, nearestCells(v, 1).head, v) }
+        .toDF("vec_id", "cell", "v")
+      val probes = broadcast(e.filter(col("vec_id") < NumProbes)
+        .as[(Long, Seq[Double])]
+        .flatMap { case (id, v) =>
+          nearestCells(v, IvfProbes).map(c => (id, c, v))
+        }
+        .toDF("query_id", "cell", "qv"))
+      val cands = probes.join(assigned.filter(col("vec_id") >= NumProbes), "cell")
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(cosineSim(col("qv"), col("v")), 4).as("cos"))
+        .dropDuplicates("query_id", "neighbor_id")
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      cands.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= TopK)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     "q40_knn_bruteforce" -> ((s, d) => {
       val e = emb(s, d)
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))

@@ -100,6 +100,26 @@ object StreamingOps {
     "q66_stream_hourly" -> ((s, d) => {
       runToMemory(s, d, s"q66_${math.abs(d.hashCode)}", mode = "complete")
         .orderBy(col("hr"), col("event_type"))
+    }),
+
+    // --- gap sessionization through flatMapGroupsWithState (the typed
+    //     custom-state API; reference has no stateful operators). CLOSED
+    //     sessions only — the open session per user stays in state, which
+    //     the SQL oracle mirrors by dropping each user's last session.
+    //     total_value is intentionally not emitted: the stateful fold sums
+    //     doubles in event order while SQL sums in scan order, so only the
+    //     order-insensitive columns are cross-engine exact.
+    "q68_sessionize" -> ((s, d) => {
+      import s.implicits._
+      val events = s.read.parquet(s"$d/events.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Event]
+      sessionize(events).toDF()
+        .select(col("user_id"), col("startMs"), col("endMs"),
+          col("n_events").cast("long").as("n_events"))
+        .orderBy(col("user_id"), col("startMs"))
     })
   )
 
@@ -107,6 +127,27 @@ object StreamingOps {
     "q66_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hr, event_type,
         |  count(*) AS n, round(sum(value),2) AS total
-        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q68_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, event_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e),
+        |agg AS (
+        |  SELECT user_id, sid, min(epoch_ms(ts)) AS startMs,
+        |    max(epoch_ms(ts)) AS endMs, count(*)::BIGINT AS n_events
+        |  FROM s GROUP BY 1,2),
+        |mx AS (SELECT user_id, max(sid) AS last_sid FROM agg GROUP BY 1)
+        |SELECT a.user_id, a.startMs, a.endMs, a.n_events
+        |FROM agg a JOIN mx USING (user_id) WHERE a.sid < mx.last_sid
+        |ORDER BY a.user_id, a.startMs""".stripMargin
   )
 }

@@ -17,7 +17,8 @@ class EntrySpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o.diff(q)}")
     val rowsOnly = q.diff(o)
-    assert(rowsOnly == Set("q37_simhash", "q41_knn_lsh", "q46_media_frames"),
+    assert(rowsOnly == Set("q37_simhash", "q41_knn_lsh", "q43_knn_ivf",
+      "q46_media_frames"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 

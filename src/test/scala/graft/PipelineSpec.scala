@@ -41,6 +41,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.05, "LSH found no brute-force neighbors at all")
   }
 
+  test("IVF ANN finds a usable fraction of brute-force neighbors, deterministically") {
+    val bf = Similarity.queries("q40_knn_bruteforce")(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf1 = Similarity.queries("q43_knn_ivf")(spark, sf).collect().toSeq
+    val ivf2 = Similarity.queries("q43_knn_ivf")(spark, sf).collect().toSeq
+    assert(ivf1 == ivf2 && ivf1.nonEmpty, "IVF not deterministic")
+    val hits = ivf1.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect hits).size.toDouble / bf.size
+    info(f"IVF recall vs brute force: $recall%.2f (nProbe=${Similarity.IvfProbes})")
+    assert(recall > 0.05, "IVF found no brute-force neighbors at all")
+  }
+
   test("q42 LSH-bucketed dedup has 100% recall vs the exact threshold join") {
     // q42's DuckDB oracle is the EXACT all-pairs threshold join, so the
     // bucketed candidate generation must not miss a single qualifying pair
