@@ -517,6 +517,24 @@ object TpchQueries {
       v0.unionByName(v1).orderBy(col("v"), col("o_orderkey"))
     }),
 
+    // --- non-blocking schema evolution with lazy migration — the reference
+    //     FORK's headline delta vs upstream terrier (DESIGN.md:21-76:
+    //     multiple live layout versions, defaults filled on read, tuples
+    //     migrated on their next write). ALTER ADD COLUMN writes only a
+    //     schema delta (no data rewrite); the subsequent insert
+    //     materializes the evolved layout; old rows carry the default, new
+    //     rows their written values.
+    "q69_schema_evolution" -> ((s, d) => {
+      val ops = freshTable(s, d, "q69")
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      ops.create("t", o.filter(col("o_orderkey") < 500))
+      ops.addColumn("t", "note", "'n/a'")
+      ops.insert("t", o.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 700)
+        .withColumn("note", lit("new")))
+      ops.read("t").orderBy(col("o_orderkey"))
+    }),
+
     // --- runtime Bloom-filter join (reference pushes a bloom filter from
     //     the hash-join build side, execution/sql/join_hash_table.h /
     //     bloom_filter.cpp): Spark's runtime bloom filter injects a
@@ -775,6 +793,11 @@ object TpchQueries {
         |  CAST(1 AS BIGINT) AS v FROM orders
         |WHERE o_orderkey < 500 AND o_orderstatus <> 'F'
         |ORDER BY v, o_orderkey""".stripMargin,
+    "q69_schema_evolution" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CASE WHEN o_orderkey < 500 THEN 'n/a' ELSE 'new' END AS note
+        |FROM orders WHERE o_orderkey < 700
+        |ORDER BY o_orderkey""".stripMargin,
     "q65_bloom_join" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_extendedprice), 2) AS volume

@@ -51,12 +51,44 @@ final class TableOps(spark: SparkSession, root: String) {
   def read(table: String): DataFrame = {
     val v = currentVersion(table)
     require(v >= 0, s"table $table does not exist under $root")
-    spark.read.parquet(versionDir(table, v))
+    readVersion(table, v)
   }
 
-  /** Read a historical snapshot (time travel). */
-  def readVersion(table: String, v: Long): DataFrame =
-    spark.read.parquet(versionDir(table, v))
+  /** Read a historical snapshot (time travel). Schema-delta versions (see
+    * addColumn) resolve lazily: the base version's files are read and the
+    * added column is filled from its default expression — no data was
+    * rewritten at ALTER time. */
+  def readVersion(table: String, v: Long): DataFrame = {
+    val delta = Paths.get(versionDir(table, v), "schema_delta.json")
+    if (Files.exists(delta)) {
+      val txt = new String(Files.readAllBytes(delta), "UTF-8")
+      // minimal fixed-shape JSON: {"base":N,"col":"name","defaultSql":"expr"}
+      val base = """"base"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
+      val cname = """"col"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt).get.group(1)
+      val dflt = """"defaultSql"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt).get.group(1)
+      readVersion(table, base).withColumn(cname, expr(dflt))
+    } else spark.read.parquet(versionDir(table, v))
+  }
+
+  /** ALTER TABLE ADD COLUMN with LAZY migration — the reference fork's
+    * headline feature (DESIGN.md:21-76: multiple live layout versions per
+    * table, defaults filled on read, tuples migrated on their next write):
+    * the new version stores only a schema delta pointing at the previous
+    * version's data; readers fill the default on the fly, and the next
+    * mutation (insert/update/delete) materializes the evolved layout via
+    * its normal copy-on-write rewrite. Older snapshots keep the old
+    * schema (time travel unaffected). `defaultSql` is a SQL expression. */
+  def addColumn(table: String, name: String, defaultSql: String): Long = {
+    val v = currentVersion(table)
+    require(v >= 0, s"table $table does not exist under $root")
+    val next = v + 1
+    val dir = Paths.get(versionDir(table, next))
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("schema_delta.json"),
+      s"""{"base":$v,"col":"$name","defaultSql":"$defaultSql"}"""
+        .getBytes("UTF-8"))
+    commit(table, next); next
+  }
 
   /** INSERT: append rows as a new snapshot (old + new files). */
   def insert(table: String, rows: DataFrame): Long = {

@@ -34,4 +34,32 @@ class TableOpsSpec extends AnyFunSuite {
     assert(ops.readVersion("t", v2).count() == 2)
     assert(v3 == 3 && ops.currentVersion("t") == 3)
   }
+
+  test("ALTER ADD COLUMN is lazy: no data rewrite, default filled on read, migrated on write") {
+    val root = TestSpark.tmpDir("graft-tables-evolve")
+    val ops = new TableOps(spark, root)
+    ops.create("t", Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+
+    val vAlter = ops.addColumn("t", "tag", "'none'")
+    // LAZY: the alter version dir contains only the schema delta — the
+    // base version's parquet files were NOT rewritten (DESIGN.md:21-76)
+    val alterDir = new java.io.File(s"$root/t/v$vAlter")
+    assert(alterDir.listFiles().map(_.getName).toSet == Set("schema_delta.json"),
+      "ALTER rewrote data")
+    // default filled on read
+    val afterAlter = ops.read("t").select("id", "tag").as[(Long, String)]
+      .collect().toMap
+    assert(afterAlter == Map(1L -> "none", 2L -> "none"))
+    // old snapshot keeps the old schema
+    assert(!ops.readVersion("t", 0).columns.contains("tag"))
+
+    // next write materializes the evolved layout (migration-on-write)
+    val vIns = ops.insert("t", Seq((3L, "c", "fresh")).toDF("id", "name", "tag"))
+    val after = ops.read("t").select("id", "tag").as[(Long, String)]
+      .collect().toMap
+    assert(after == Map(1L -> "none", 2L -> "none", 3L -> "fresh"))
+    val insDir = new java.io.File(s"$root/t/v$vIns")
+    assert(insDir.listFiles().exists(_.getName.endsWith(".parquet")),
+      "insert after alter should materialize the evolved layout")
+  }
 }
