@@ -227,6 +227,50 @@ object TextPipeline {
         .orderBy(col("a"), col("b"))
     }),
 
+    // --- token counting, whitespace + BPE-ish regex (the two counting
+    //     conventions an LLM-data pipeline actually reports): whitespace
+    //     tokens via split, BPE-ish tokens via a GPT-2-style pattern
+    //     (contraction suffixes | letter runs | digit runs | punctuation
+    //     runs), counted with regexp_count on both engines.
+    "q70_token_counts" -> ((s, d) => {
+      docs(s, d)
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
+          regexp_count(col("text"),
+            lit("'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"))
+            .cast("long").as("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- document fingerprinting via rolling-window hashing (winnowing
+    //     family): hash every 16-char window at stride 8, keep the MIN —
+    //     a content-defined fingerprint stable under trailing edits. The
+    //     md5-prefix integer hash is the same cross-engine primitive the
+    //     minhash family uses.
+    "q71_window_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          var best = Long.MaxValue
+          var i = 0
+          val n = text.length
+          var windows = 0L
+          while (i + 16 <= n) {
+            md.reset()
+            val hex = md.digest(text.substring(i, i + 16).getBytes("UTF-8"))
+              .take(4).map(b => f"$b%02x").mkString
+            val h = java.lang.Long.parseLong(hex.substring(0, 7), 16)
+            if (h < best) best = h
+            windows += 1
+            i += 8
+          }
+          (id, if (windows == 0) -1L else best, windows)
+        }
+        .toDF("doc_id", "fp", "n_windows")
+        .orderBy(col("doc_id"))
+    }),
+
     // --- SimHash-64 fingerprint (bit-vote over term hashes). Not
     //     SQL-expressible at sane cost → rows-only driver check; exactness
     //     pinned by SimHashSpec instead.
@@ -330,7 +374,24 @@ object TextPipeline {
          |SELECT a, b,
          |  round(CAST(inter AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE), 4) AS jaccard
          |FROM inter JOIN counts ca ON ca.doc_id = a JOIN counts cb ON cb.doc_id = b
-         |ORDER BY a, b""".stripMargin
+         |ORDER BY a, b""".stripMargin,
+    "q70_token_counts" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS ws_tokens,
+        |  len(regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))::BIGINT
+        |    AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q71_window_fingerprint" ->
+      """SELECT d.doc_id,
+        |  coalesce(min(CAST(('0x' || substr(md5(substr(d.text, g.i, 16)), 1, 7))
+        |    AS BIGINT)), -1) AS fp,
+        |  count(g.i)::BIGINT AS n_windows
+        |FROM documents d
+        |LEFT JOIN LATERAL (
+        |  SELECT unnest(generate_series(1, greatest(length(d.text) - 15, 0), 8)) AS i
+        |) g ON TRUE
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
     // q37_simhash: no SQL oracle (rows-only check); see SimHashSpec
   )
 }
