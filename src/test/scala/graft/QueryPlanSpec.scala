@@ -83,6 +83,32 @@ class QueryPlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q35/q36/q41: pipelines execute their expensive upstream exactly once") {
+    // the round-2 fix class: self-joins over a derived lineage get NO
+    // ReusedExchange — the tokenize/minhash/LSH upstream ran once per join
+    // side. Pin the fixed shape: exactly one scan of the source table.
+    Seq(
+      "q35_minhash_pairs" -> graft.pipeline.TextPipeline.queries("q35_minhash_pairs"),
+      "q36_ngram_jaccard" -> graft.pipeline.TextPipeline.queries("q36_ngram_jaccard"),
+      "q41_knn_lsh" -> graft.pipeline.Similarity.queries("q41_knn_lsh")
+    ).foreach { case (name, fn) =>
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      val scans = "FileScan".r.findAllIn(p).size
+      // q41 legitimately scans embeddings twice (probe rows + corpus rows
+      // are disjoint filters of the same table — both scans are pruned);
+      // the text pipelines must scan documents exactly once
+      val maxScans = if (name == "q41_knn_lsh") 2 else 1
+      assert(scans <= maxScans, s"$name re-executes its upstream ($scans scans):\n$p")
+    }
+  }
+
+  test("q43: IVF candidate generation is a cell equi-join, not all-pairs") {
+    val p = graft.pipeline.Similarity.queries("q43_knn_ivf")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q43 is all-pairs:\n$p")
+  }
+
   test("sort-based aggregation engages for non-hashable buffer types (SURVEY §2 row 24)") {
     // The reference has a sort group-by next to its hash group-by
     // (aggregate_util.h). In Spark the fallback is automatic: aggregation
