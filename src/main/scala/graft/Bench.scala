@@ -77,6 +77,15 @@ object Bench {
     val tBig = secs { IndexBuilder.build(spark, bigCorpus, bigCfg, "bench60k") }
     val gbPerHour = (bigBytes / 1e9) / (tBig / 3600.0)
 
+    // 1c) distributed-WAND latency on the 60k index (above the local-serve
+    //     block budget, so every query takes the cluster path) — the second
+    //     serving regime, reported alongside the local-serve p50 below
+    val bigSearcher = new Searcher(spark, bigCfg)
+    bigSearcher.searchWAND(QuerySet.head, 10) // warm
+    val dLats = QuerySet.take(10).map(q =>
+      secs { bigSearcher.searchWAND(q, 10) } * 1000.0).sorted
+    val p50Dist = dLats(dLats.length / 2)
+
     // 2) BM25 top-10 latency over the frozen query set (block-max WAND;
     //    serves driver-local below the block budget — Searcher.localServe).
     //    One full warm pass first (cache + JIT), then one timed pass — the
@@ -110,7 +119,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","gb_per_hour":$gbPerHour%.3f,"index_build_60k_sec":$tBig%.2f,"bm25_p50_ms":$p50%.2f,"bm25_p95_ms":$p95%.2f,"corpus_bytes":$corpusBytes,"big_corpus_bytes":$bigBytes,"cpus":$cpus}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","gb_per_hour":$gbPerHour%.3f,"index_build_60k_sec":$tBig%.2f,"bm25_p50_ms":$p50%.2f,"bm25_p95_ms":$p95%.2f,"bm25_p50_ms_distributed":$p50Dist%.2f,"corpus_bytes":$corpusBytes,"big_corpus_bytes":$bigBytes,"cpus":$cpus}"""
     println(json)
     // also write the line to a file: the stdout line lands inside sbt [info]
     // noise, so machine consumers (BENCH_r{N}.json "parsed") read this copy
