@@ -31,7 +31,8 @@ import graft.model._
   *     sorter shape, sorter.cpp:332).
   */
 final class Searcher(spark: SparkSession, cfg: IndexConfig,
-    localServeMaxBlocks: Long = Searcher.DefaultLocalServeMaxBlocks)
+    localServeMaxBlocks: Long = Searcher.DefaultLocalServeMaxBlocks,
+    gatherMaxBlocks: Long = Searcher.GatherMaxBlocks)
     extends Serializable {
   import spark.implicits._
 
@@ -88,7 +89,7 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
     * every query takes the distributed path unchanged. */
   private final case class LocalServe(
       byTerm: Map[Int, Map[Int, Array[graft.model.PostingBlockRow]]],
-      lexicon: Map[String, (Int, Long, Double)])
+      lexicon: Map[String, (Int, Long, Double, Int)])
 
   private lazy val localServe: Option[LocalServe] = {
     val nBlocks = new graft.checkpoint.Manifest(cfg.indexDir)
@@ -100,9 +101,9 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
       val byTerm = blocks.groupBy(_.termId)
         .map { case (tid, bs) => tid -> bs.groupBy(_.shard) }
       val lex = spark.read.parquet(cfg.lexiconPath)
-        .select($"term", $"termId", $"df", $"maxTfNorm")
-        .as[(String, Int, Long, Double)].collect()
-        .map { case (t, id, df, m) => t -> (id, df, m) }.toMap
+        .select($"term", $"termId", $"df", $"maxTfNorm", $"nBlocks")
+        .as[(String, Int, Long, Double, Int)].collect()
+        .map { case (t, id, df, m, nb) => t -> ((id, df, m, nb)) }.toMap
       Some(LocalServe(byTerm, lex))
     } else None
   }
@@ -110,28 +111,44 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
   /** Lexicon cached once per Searcher (tiny relative to postings). */
   private lazy val lexiconDF = {
     val df = spark.read.parquet(cfg.lexiconPath)
-      .select($"term", $"termId", $"df", $"maxTfNorm")
+      .select($"term", $"termId", $"df", $"maxTfNorm", $"nBlocks")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     df.count()
     df
+  }
+
+  /** Driver-side lexicon for the DISTRIBUTED path too, size-guarded: the
+    * lexicon is vocab-sized (≈20k terms even for multi-GB code corpora —
+    * it grows ~log with corpus size), so below the guard the per-query
+    * term probe is a map lookup instead of a Spark job. Above it (true
+    * web-scale vocabularies) the probe stays a pruned DataFrame filter. */
+  val DriverLexiconMaxTerms: Long = 2000000L
+
+  private lazy val lexiconLocal: Option[Map[String, (Int, Long, Double, Int)]] = {
+    if (stats.vocabSize <= DriverLexiconMaxTerms)
+      Some(lexiconDF.as[(String, Int, Long, Double, Int)].collect()
+        .map { case (t, id, df, m, nb) => t -> ((id, df, m, nb)) }.toMap)
+    else None
   }
 
   /** Canonical query terms: tokenize, dedupe, sort. */
   def queryTerms(query: String): Array[String] =
     CodeTokenizer.tokenize(query).distinct.sorted.toArray
 
-  /** term -> (termId, df, maxTfNorm) for the present query terms. Served
-    * from the driver-local lexicon when localServe is active (no job). */
-  private def lexFor(terms: Array[String]): Map[String, (Int, Long, Double)] =
-    localServe match {
-      case Some(ls) =>
-        terms.iterator.flatMap(t => ls.lexicon.get(t).map(t -> _)).toMap
+  /** term -> (termId, df, maxTfNorm, nBlocks) for the present query terms.
+    * A map lookup when either driver-side lexicon is active (no Spark
+    * job). */
+  private def lexFor(terms: Array[String])
+      : Map[String, (Int, Long, Double, Int)] =
+    localServe.map(_.lexicon).orElse(lexiconLocal) match {
+      case Some(lex) =>
+        terms.iterator.flatMap(t => lex.get(t).map(t -> _)).toMap
       case None =>
         lexiconDF
           .filter($"term".isin(terms.toSeq: _*))
-          .as[(String, Int, Long, Double)]
+          .as[(String, Int, Long, Double, Int)]
           .collect()
-          .map { case (t, id, df, m) => t -> (id, df, m) }
+          .map { case (t, id, df, m, nb) => t -> ((id, df, m, nb)) }
           .toMap
     }
 
@@ -241,6 +258,23 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
       return all.sortBy(sd => (-sd.score, sd.docId)).take(k)
     }
 
+    // ---- per-query gather fast path (distributed indexes, small result
+    // sets): the lexicon knows the query's total block count up front, so
+    // when the matched postings fit a bounded driver budget, collect them
+    // in ONE job (no shuffle, no sort stage) and run the identical shard
+    // WAND driver-side. Mega-df terms blow the budget and fall through to
+    // the shuffle path — the gather is never unbounded.
+    val queryBlocks = present.map(t => lex(t)._4.toLong).sum
+    if (queryBlocks <= gatherMaxBlocks &&
+        stats.numDocs <= BroadcastNormsMaxDocs) {
+      val blks = blocksFor(idxOf.keys.toArray).collect()
+      val all = blks.groupBy(_.shard).valuesIterator.flatMap { shardBlks =>
+        WandShard.topK(shardBlks.groupBy(_.termId), idxOf, weights, termUB,
+          normsLocalArr, k1, b, avgDl, k, ubScale).iterator
+      }.toArray
+      return all.sortBy(sd => (-sd.score, sd.docId)).take(k)
+    }
+
     val idxB = spark.sparkContext.broadcast(idxOf)
     val wB = spark.sparkContext.broadcast(weights)
     val ubB = spark.sparkContext.broadcast(termUB)
@@ -300,6 +334,12 @@ object Searcher {
     * for in-process queries (~0.5 KB/block ⇒ ~128 MB at the default). Any
     * index above it — every real cluster corpus — serves distributed. */
   val DefaultLocalServeMaxBlocks: Long = 262144L
+
+  /** Per-QUERY gather budget on distributed indexes: when the query terms'
+    * total block count (known from the lexicon before touching postings)
+    * is under this, matched blocks are collected and scored driver-side —
+    * one job, no shuffle (~8 MB at the default). */
+  val GatherMaxBlocks: Long = 16384L
 }
 
 /** Sequential WAND over one docId shard (runs inside one task). */

@@ -132,15 +132,20 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
-  test("distributed WAND == driver-local serving WAND (exact scores)") {
-    // localServeMaxBlocks=0 forces every query down the distributed
-    // flatMapGroups path; the default serves this small index in-process.
-    // Both must be bit-identical to each other and to the oracle.
-    val distributed = new Searcher(spark, cfg(indexDir), localServeMaxBlocks = 0L)
+  test("distributed WAND == gather WAND == driver-local serving WAND (exact scores)") {
+    // localServeMaxBlocks=0 + gatherMaxBlocks=0 forces the full distributed
+    // flatMapGroups shuffle path; gather-only forces the one-job collect
+    // path; the default serves this small index in-process. All three must
+    // be bit-identical to each other and to the oracle.
+    val shuffled = new Searcher(spark, cfg(indexDir),
+      localServeMaxBlocks = 0L, gatherMaxBlocks = 0L)
+    val gathered = new Searcher(spark, cfg(indexDir), localServeMaxBlocks = 0L)
     refQueries.foreach { q =>
-      val d = distributed.searchWAND(q, 10).toVector
+      val d = shuffled.searchWAND(q, 10).toVector
+      val g = gathered.searchWAND(q, 10).toVector
       val l = searcher.searchWAND(q, 10).toVector
       assert(d == l, s"local/distributed divergence for '$q'")
+      assert(g == l, s"gather/local divergence for '$q'")
       assert(l == oracle.topK(q, 10), s"oracle mismatch for '$q'")
     }
   }
