@@ -108,12 +108,17 @@ object Bench {
       "q50_bm25_hash_join", "q52_index_lexicon", "q54_postings_roundtrip",
       "q58_sketch_agg", "q63_tpch_q5", "q64_tpch_q6")
     // index_build_60k is sf-independent — reported as a top-level key,
-    // NOT in queries/total, so the headline stays comparable across runs
+    // NOT in queries/total, so the headline stays comparable across runs.
+    // Each headline query is timed best-of-k (ScalingBench's protocol):
+    // this VM shows ±2-3× run-to-run noise on identical jobs, so a
+    // single-shot timing encodes co-tenancy noise as a plan regression
+    // (BENCH_r02 recorded q36 at 16 s; the best-of re-measure is ~1-4 s).
+    val BestOf = 3
     val results: Seq[(String, Double)] =
       Seq("index_build" -> tBuild) ++
       heads.map { name =>
         val fn = SparkEntry.queries(name)
-        name -> secs { fn(spark, sfDir).count() }
+        name -> (1 to BestOf).map(_ => secs { fn(spark, sfDir).count() }).min
       } ++ Seq("bm25_p50_query" -> p50 / 1000.0)
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.4f" }

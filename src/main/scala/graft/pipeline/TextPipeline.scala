@@ -39,6 +39,12 @@ object TextPipeline {
 
   val MinhashHashes = 8
   val MinhashBands = 4 // 2 rows per band
+  // q35: LSH buckets larger than this are dropped BEFORE pair expansion (a
+  // bucket this hot means the band key is degenerate and carries no near-dup
+  // signal; expanding it is the C(n,2) blowup). Max observed bucket in this
+  // corpus is 625 docs at sf0.1, so the cap never fires at any test scale —
+  // asserted by PipelineSpec — and the q35 oracle stays exact.
+  val MinhashBucketCap = 4096
   // q36: drop shingles shared by more than this many sampled docs before
   // the self-join (hot-shingle quadratic-blowup guard)
   val ShingleDfCut = 10
@@ -141,23 +147,33 @@ object TextPipeline {
       // once. Candidate pairs by grouping each bucket's doc list and
       // expanding combinations — a bucket SELF-JOIN defeats exchange reuse
       // and runs the whole md5+minhash aggregation once per side (measured
-      // on q36's identical shape). At production scale a bucket-size cap is
-      // the standard extra dial before the expansion.
+      // on q36's identical shape). The collect is CappedCollect, not
+      // collect_list: a bucket above MinhashBucketCap never materializes
+      // (the buffer stops growing at the cap) and is counted+dropped
+      // instead of expanded — the hard bound that makes the C(n,2)
+      // expansion safe on an all-near-dup corpus.
       import s.implicits._
+      val dropped = s.sparkContext.longAccumulator("q35_dropped_buckets")
+      val cappedCollect = udaf(new graft.functions.CappedCollect(MinhashBucketCap),
+        org.apache.spark.sql.Encoders.scalaLong)
       val bandArr = array((0 until MinhashBands).map { b =>
         struct(lit(b).as("band"), col(s"mh${2 * b}").as("k1"),
           col(s"mh${2 * b + 1}").as("k2"))
       }: _*)
       sig.select(col("doc_id"), explode(bandArr).as("bk"))
         .groupBy(col("bk.band"), col("bk.k1"), col("bk.k2"))
-        .agg(collect_list(col("doc_id")).as("ds"))
-        .select(col("ds")).as[Seq[Long]]
-        .flatMap { ds =>
-          val sorted = ds.sorted
-          for {
-            i <- sorted.indices.iterator
-            j <- (i + 1) until sorted.length
-          } yield (sorted(i), sorted(j))
+        .agg(cappedCollect(col("doc_id")).as("cd"))
+        .select(col("cd.ds").as("ds"), col("cd.overflow").as("overflow"))
+        .as[(Seq[Long], Boolean)]
+        .flatMap { case (ds, overflow) =>
+          if (overflow) { dropped.add(1); Iterator.empty }
+          else {
+            val sorted = ds.sorted
+            for {
+              i <- sorted.indices.iterator
+              j <- (i + 1) until sorted.length
+            } yield (sorted(i), sorted(j))
+          }
         }
         .toDF("a", "b").distinct()
         .orderBy(col("a"), col("b"))

@@ -85,6 +85,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames.collect().toSeq == again.collect().toSeq)
   }
 
+  test("CappedCollect bounds the buffer and flags overflow; q35's cap never fires at test scale") {
+    import graft.functions.{CappedCollect, CappedList}
+    // unit: reduce past the cap -> overflow with an EMPTY (never-materialized) list
+    val agg3 = new CappedCollect(3)
+    val under = (1L to 3L).foldLeft(agg3.zero)(agg3.reduce)
+    assert(!under.overflow && under.ds == Seq(1L, 2L, 3L))
+    val over = (1L to 4L).foldLeft(agg3.zero)(agg3.reduce)
+    assert(over.overflow && over.ds.isEmpty)
+    // merge of two under-cap halves that jointly exceed the cap overflows too
+    val half = CappedList(Vector(1L, 2L), overflow = false)
+    assert(agg3.merge(half, half).overflow)
+    assert(agg3.merge(half, CappedList(Vector(3L), overflow = false)).ds.length == 3)
+    // in-plan: an over-cap group yields zero pairs (dropped, not expanded)
+    val capped = udaf(new CappedCollect(3), org.apache.spark.sql.Encoders.scalaLong)
+    val out = (1L to 5L).toDF("id").withColumn("g", lit("hot"))
+      .groupBy($"g").agg(capped($"id").as("cd"))
+      .select($"cd.overflow").as[Boolean].head()
+    assert(out, "over-cap bucket must come back flagged")
+    // q35's oracle validity: the real LSH bucket distribution stays far
+    // below the cap at test scale (max measured 625 at sf0.1)
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"doc_id" % 5 === 0)
+      .withColumn("term", explode(array_distinct(
+        filter(split(lower($"text"), "[^a-z0-9_]+"),
+          t => length(t) >= 2 && length(t) <= 64))))
+      .withColumn("h", conv(substring(md5($"term"), 1, 7), 16, 10).cast("long"))
+    val aggs = (0 until TextPipeline.MinhashHashes).map(j =>
+      min(($"h" * TextPipeline.MinhashA(j) + TextPipeline.MinhashB(j)) %
+        TextPipeline.MinhashP).as(s"mh$j"))
+    val sig = base.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+    val bandArr = array((0 until TextPipeline.MinhashBands).map { b =>
+      struct(lit(b).as("band"), col(s"mh${2 * b}").as("k1"),
+        col(s"mh${2 * b + 1}").as("k2"))
+    }: _*)
+    val maxBucket = sig.select($"doc_id", explode(bandArr).as("bk"))
+      .groupBy($"bk.band", $"bk.k1", $"bk.k2").count()
+      .agg(max($"count")).as[Long].head()
+    assert(maxBucket < TextPipeline.MinhashBucketCap,
+      s"cap would fire at test scale (max bucket $maxBucket) — oracle invalid")
+  }
+
   test("minhash jaccard estimate correlates with true jaccard") {
     // two near-identical docs share most minhashes; disjoint docs share none
     def sig(terms: Seq[String]): Seq[Long] = {
