@@ -535,6 +535,91 @@ object TpchQueries {
       ops.read("t").orderBy(col("o_orderkey"))
     }),
 
+    // --- LEFT OUTER join with NULL-extension-sensitive aggregates
+    //     (reference LogicalLeftJoin logical_operators.h:510, physical NLJ
+    //     variants physical_operators.h:483-614): customers keep their row
+    //     even with no qualifying order; count(o_orderkey) counts only
+    //     matches (0 for the NULL-extended rows), max() is NULL there.
+    "q72_left_outer" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 250000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(count(col("o_orderkey")).as("n_big"),
+          round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("total_big"),
+          max(col("o_orderdate")).as("last_big"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // --- FULL OUTER join of two filtered projections (reference
+    //     LogicalOuterJoin logical_operators.h:586): each side contributes
+    //     rows the other lacks; the NULL pattern (only_a/only_b) is part of
+    //     the pinned output.
+    "q73_full_outer" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val a = c.filter(col("c_acctbal") > 3000.0)
+        .select(col("c_custkey").as("ka"), col("c_acctbal"))
+      val b = c.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("kb"), col("c_name"))
+      a.join(b, col("ka") === col("kb"), "full_outer")
+        .select(coalesce(col("ka"), col("kb")).as("custkey"),
+          col("c_acctbal"), col("c_name"),
+          col("ka").isNull.as("only_b"), col("kb").isNull.as("only_a"))
+        .orderBy(col("custkey"))
+    }),
+
+    // --- faithful TPC-H Q7 shape (two-party volume shipping; the
+    //     reference's bench set, tpch_runner.cpp:25): disjunctive
+    //     nation-pair predicate, shipment-year split, volume sum. Adapted
+    //     to this data's fan-out by pairing REGIONS 0↔1 (single nations
+    //     yield no rows at sf0.001) — the plan shape (two aliased nation
+    //     dims both broadcast, OR-of-conjunctions filter, year extraction)
+    //     is Q7's.
+    "q75_tpch_q7" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val su = t(s, d, "supplier")
+      val n1 = t(s, d, "nation")
+        .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"),
+          col("n_regionkey").as("supp_region"))
+      val n2 = t(s, d, "nation")
+        .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"),
+          col("n_regionkey").as("cust_region"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n1), su("s_nationkey") === col("nk1"))
+        .join(broadcast(n2), c("c_nationkey") === col("nk2"))
+        .filter((col("supp_region") === 0 && col("cust_region") === 1) ||
+          (col("supp_region") === 1 && col("cust_region") === 0))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        // round to 4, not 2: prices/discounts are 2-decimal, so group sums
+        // sit on a 0.0001 grid — 2-decimal rounding lands on exact .xx5
+        // ties (engines disagree), 4-decimal ties are off-grid by 0.00005
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // --- faithful TPC-H Q11 shape (group-value share with a
+    //     scalar-subquery HAVING; reference bench set tpch_runner.cpp:26).
+    //     This data has no partsupp, so the "important parts" variant is
+    //     per-part lineitem value vs 1.2× the mean part value — the plan
+    //     shape (grouped sum HAVING > scalar subquery over the same fact
+    //     table, computed once and broadcast) is Q11's.
+    "q76_tpch_q11" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val per = li.groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice")).as("value"))
+      val cut = li.agg(
+        (sum(col("l_extendedprice")) * 1.2 /
+          countDistinct(col("l_partkey"))).as("cutoff"))
+      per.crossJoin(broadcast(cut))
+        .filter(col("value") > col("cutoff"))
+        .select(col("l_partkey"), round(col("value"), 2).as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+
     // --- runtime Bloom-filter join (reference pushes a bloom filter from
     //     the hash-join build side, execution/sql/join_hash_table.h /
     //     bloom_filter.cpp): Spark's runtime bloom filter injects a
@@ -804,6 +889,44 @@ object TpchQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q72_left_outer" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  count(o_orderkey) AS n_big,
+        |  round(sum(coalesce(o_totalprice, 0.0)), 2) AS total_big,
+        |  max(o_orderdate) AS last_big
+        |FROM customer LEFT OUTER JOIN
+        |  (SELECT * FROM orders WHERE o_totalprice > 250000.0) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY 1,2 ORDER BY c_custkey""".stripMargin,
+    "q73_full_outer" ->
+      """SELECT coalesce(a.c_custkey, b.c_custkey) AS custkey,
+        |  a.c_acctbal, b.c_name,
+        |  a.c_custkey IS NULL AS only_b,
+        |  b.c_custkey IS NULL AS only_a
+        |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 3000.0) a
+        |FULL OUTER JOIN
+        |  (SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING') b
+        |  ON a.c_custkey = b.c_custkey
+        |ORDER BY custkey""".stripMargin,
+    "q75_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_regionkey = 0 AND n2.n_regionkey = 1)
+        |   OR (n1.n_regionkey = 1 AND n2.n_regionkey = 0)
+        |GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+    "q76_tpch_q11" ->
+      """SELECT l_partkey, round(sum(l_extendedprice), 2) AS value
+        |FROM lineitem GROUP BY 1
+        |HAVING sum(l_extendedprice) >
+        |  (SELECT 1.2 * sum(l_extendedprice) / count(DISTINCT l_partkey)
+        |   FROM lineitem)
+        |ORDER BY value DESC, l_partkey""".stripMargin,
     "q29_trig" ->
       """SELECT o_orderkey,
         |  round(sin(o_totalprice/100000.0),6) AS sin_x,

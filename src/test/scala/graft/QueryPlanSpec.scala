@@ -67,6 +67,24 @@ class QueryPlanSpec extends AnyFunSuite {
       s"dims not broadcast in:\n$p")
   }
 
+  test("q72/q73: outer joins plan as hash/SMJ equi-joins, never nested-loop") {
+    Seq("q72_left_outer" -> "LeftOuter", "q73_full_outer" -> "FullOuter")
+      .foreach { case (name, joinType) =>
+        val p = plan(name)
+        assert(p.contains(joinType), s"$name missing $joinType join:\n$p")
+        assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+          s"$name planned as nested-loop:\n$p")
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+          p.contains("BroadcastHashJoin"), s"$name has no equi-join:\n$p")
+      }
+  }
+
+  test("q75: both aliased nation dims broadcast (Q7's two-nation shape)") {
+    val p = plan("q75_tpch_q7")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"q75 dims not broadcast:\n$p")
+  }
+
   test("q65: runtime bloom filter is injected on the probe side") {
     // InjectRuntimeFilter only fires for probably-shuffle joins
     // (isProbablyShuffleJoin consults canBroadcastBySize): at sf0.001 both
