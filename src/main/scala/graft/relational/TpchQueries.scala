@@ -620,6 +620,22 @@ object TpchQueries {
         .orderBy(col("value").desc, col("l_partkey"))
     }),
 
+    // --- lazy ALTER DROP COLUMN (the fork's symmetric schema delta,
+    //     alter_plan_node.h:165 DropColumnCmd; DESIGN.md:9-11 names add AND
+    //     drop): the drop writes only a manifest — the column vanishes from
+    //     reads while old snapshots keep it (pinned in TableOpsSpec); the
+    //     subsequent insert writes the narrowed layout.
+    "q77_drop_column" -> ((s, d) => {
+      val ops = freshTable(s, d, "q77")
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      ops.create("t", o.filter(col("o_orderkey") < 500))
+      ops.dropColumn("t", "o_orderstatus")
+      ops.insert("t", o.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 700)
+        .select(col("o_orderkey"), col("o_totalprice")))
+      ops.read("t").orderBy(col("o_orderkey"))
+    }),
+
     // --- runtime Bloom-filter join (reference pushes a bloom filter from
     //     the hash-join build side, execution/sql/join_hash_table.h /
     //     bloom_filter.cpp): Spark's runtime bloom filter injects a
@@ -889,6 +905,9 @@ object TpchQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q77_drop_column" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey < 700 ORDER BY o_orderkey""".stripMargin,
     "q72_left_outer" ->
       """SELECT c_custkey, c_mktsegment,
         |  count(o_orderkey) AS n_big,

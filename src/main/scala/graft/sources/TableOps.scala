@@ -1,29 +1,59 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.collection.immutable.ListMap
+import com.fasterxml.jackson.databind.ObjectMapper
 
-/** Snapshot-style managed parquet tables: create / insert (append) /
-  * delete / update with atomic version swap.
+/** Snapshot-style managed parquet tables with FILE-LEVEL commits: create /
+  * insert / delete / update / lazy ALTER ADD+DROP COLUMN, all as atomic
+  * manifest swaps over immutable data files.
   *
   * Reference parity (SURVEY.md §2.1 Insert/Update/Delete,
-  * logical_operators.h:718,929,995): terrier mutates MVCC version chains
-  * under WAL; the Spark-native equivalent is immutable snapshots — every
-  * mutation writes a NEW versioned directory and atomically repoints a
-  * `current` marker file, which is exactly Iceberg's commit model scaled
-  * down to plain parquet (kept behind this one class so a real Iceberg
-  * catalog is a drop-in swap; SURVEY.md §7.4). Readers resolve `current`
-  * at read time, so concurrent readers never observe a torn table, and
-  * old snapshots remain readable (time travel / resume).
+  * logical_operators.h:718,929,995; the fork's lazy schema change,
+  * DESIGN.md:21-76): terrier mutates MVCC version chains under WAL; the
+  * Spark-native equivalent is the Iceberg commit model — a table version is
+  * a MANIFEST listing immutable parquet files, and every mutation writes
+  * only the files it must, then atomically repoints a `current` marker:
+  *
+  *   - insert appends the new rows' files and lists old + new (no rewrite);
+  *   - delete/update rewrite ONLY the files containing matches — candidate
+  *     files are found by a predicate-pushdown scan over each group, where
+  *     the parquet footer min/max stats skip non-matching files without
+  *     reading their data (the same file-pruning role Iceberg's manifest
+  *     stats play);
+  *   - ALTER ADD/DROP COLUMN write only a new manifest (schema delta):
+  *     defaults are filled on read, dropped columns projected away on read,
+  *     and any file touched by a later rewrite materializes the evolved
+  *     layout (migration-on-write).
+  *
+  * At 100 TB this is the difference between an INSERT costing O(new rows)
+  * and O(table). Readers resolve `current` at read time, so concurrent
+  * readers never observe a torn table; old manifests stay readable (time
+  * travel). Crash-safety: data files are written before their manifest and
+  * the manifest before the pointer move, so a crash at any point leaves at
+  * worst orphaned data dirs, never a torn or inconsistent table.
+  *
+  * Manifests are Jackson-serialized (never string-interpolated), so column
+  * names / default expressions containing quotes or backslashes round-trip.
   */
 final class TableOps(spark: SparkSession, root: String) {
+
+  /** A set of files sharing a write-time schema, plus the defaults for
+    * columns added since they were written (filled on read, in order). */
+  private case class Group(paths: Seq[String], fills: ListMap[String, String])
+
+  /** columns = the version's logical projection (drops = absence). */
+  private case class VersionManifest(columns: Seq[String], groups: Seq[Group])
+
+  private val mapper = new ObjectMapper()
 
   private def currentMarker(table: String): Path =
     Paths.get(root, table, "current")
 
-  private def versionDir(table: String, v: Long): String =
-    s"$root/$table/v$v"
+  private def manifestPath(table: String, v: Long): Path =
+    Paths.get(root, table, s"manifest-v$v.json")
 
   def currentVersion(table: String): Long = {
     val m = currentMarker(table)
@@ -31,20 +61,84 @@ final class TableOps(spark: SparkSession, root: String) {
     else -1L
   }
 
-  private def commit(table: String, v: Long): Unit = {
-    val tmp = Paths.get(root, table, s".current.tmp")
-    Files.createDirectories(tmp.getParent)
-    Files.write(tmp, v.toString.getBytes("UTF-8"))
-    try Files.move(tmp, currentMarker(table), StandardCopyOption.ATOMIC_MOVE,
+  private def atomicWrite(target: Path, bytes: Array[Byte]): Unit = {
+    Files.createDirectories(target.getParent)
+    val tmp = target.resolveSibling(s".${target.getFileName}.tmp")
+    Files.write(tmp, bytes)
+    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
-      Files.move(tmp, currentMarker(table), StandardCopyOption.REPLACE_EXISTING)
+      Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
     }
+  }
+
+  private def commit(table: String, v: Long): Unit =
+    atomicWrite(currentMarker(table), v.toString.getBytes("UTF-8"))
+
+  private def writeManifest(table: String, v: Long, m: VersionManifest): Unit = {
+    // merge groups with identical fills so the manifest grows with distinct
+    // schema states, not with every insert
+    var merged = ListMap.empty[ListMap[String, String], Seq[String]]
+    m.groups.foreach { g =>
+      if (g.paths.nonEmpty)
+        merged = merged.updated(g.fills, merged.getOrElse(g.fills, Seq.empty) ++ g.paths)
+    }
+    val rootNode = mapper.createObjectNode()
+    rootNode.put("version", v)
+    val cols = rootNode.putArray("columns")
+    m.columns.foreach(cols.add)
+    val groups = rootNode.putArray("groups")
+    merged.foreach { case (fills, paths) =>
+      val g = groups.addObject()
+      val p = g.putArray("paths")
+      paths.foreach(p.add)
+      val f = g.putObject("fills")
+      fills.foreach { case (c, sql) => f.put(c, sql) }
+    }
+    atomicWrite(manifestPath(table, v),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(rootNode))
+  }
+
+  private def readManifest(table: String, v: Long): VersionManifest = {
+    val p = manifestPath(table, v)
+    require(Files.exists(p), s"no manifest for $table v$v under $root")
+    val n = mapper.readTree(Files.readAllBytes(p))
+    val columns = (0 until n.get("columns").size())
+      .map(i => n.get("columns").get(i).asText())
+    val groups = (0 until n.get("groups").size()).map { i =>
+      val g = n.get("groups").get(i)
+      val paths = (0 until g.get("paths").size())
+        .map(j => g.get("paths").get(j).asText())
+      var fills = ListMap.empty[String, String]
+      val it = g.get("fills").fieldNames()
+      while (it.hasNext) { val k = it.next(); fills += k -> g.get("fills").get(k).asText() }
+      Group(paths, fills)
+    }
+    VersionManifest(columns, groups)
+  }
+
+  /** Write `df` as immutable files under a fresh uuid dir; returns the
+    * relative part-file paths for the manifest. */
+  private def writeData(table: String, v: Long, df: DataFrame): Seq[String] = {
+    val sub = s"data/v$v-${java.util.UUID.randomUUID.toString.take(8)}"
+    val dir = s"$root/$table/$sub"
+    df.write.mode(SaveMode.Overwrite).parquet(dir)
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
+      .map(name => s"$sub/$name").toSeq
+  }
+
+  private def readGroup(table: String, g: Group, columns: Seq[String]): DataFrame = {
+    var df = spark.read.parquet(g.paths.map(p => s"$root/$table/$p"): _*)
+    g.fills.foreach { case (c, sql) => df = df.withColumn(c, expr(sql)) }
+    df.select(columns.map(col): _*)
   }
 
   def create(table: String, df: DataFrame): Long = {
     val v = currentVersion(table) + 1
-    df.write.mode(SaveMode.Overwrite).parquet(versionDir(table, v))
+    val files = writeData(table, v, df)
+    writeManifest(table, v, VersionManifest(df.columns.toSeq,
+      Seq(Group(files, ListMap.empty))))
     commit(table, v); v
   }
 
@@ -54,66 +148,102 @@ final class TableOps(spark: SparkSession, root: String) {
     readVersion(table, v)
   }
 
-  /** Read a historical snapshot (time travel). Schema-delta versions (see
-    * addColumn) resolve lazily: the base version's files are read and the
-    * added column is filled from its default expression — no data was
-    * rewritten at ALTER time. */
+  /** Read a historical snapshot (time travel). Schema deltas resolve
+    * lazily: base files are read as written, added columns are filled from
+    * their default expressions, dropped columns are projected away — no
+    * data was rewritten at ALTER time. */
   def readVersion(table: String, v: Long): DataFrame = {
-    val delta = Paths.get(versionDir(table, v), "schema_delta.json")
-    if (Files.exists(delta)) {
-      val txt = new String(Files.readAllBytes(delta), "UTF-8")
-      // minimal fixed-shape JSON: {"base":N,"col":"name","defaultSql":"expr"}
-      val base = """"base"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
-      val cname = """"col"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt).get.group(1)
-      val dflt = """"defaultSql"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt).get.group(1)
-      readVersion(table, base).withColumn(cname, expr(dflt))
-    } else spark.read.parquet(versionDir(table, v))
+    val m = readManifest(table, v)
+    require(m.groups.nonEmpty, s"$table v$v has no data files")
+    m.groups.map(readGroup(table, _, m.columns)).reduce(_.unionByName(_))
+  }
+
+  /** INSERT: write ONLY the new rows' files; the new manifest lists
+    * old + new (an O(new rows) commit, never an O(table) rewrite). */
+  def insert(table: String, rows: DataFrame): Long = {
+    val v = currentVersion(table)
+    require(v >= 0, s"table $table does not exist under $root")
+    val next = v + 1
+    val m = readManifest(table, v)
+    val files = writeData(table, next, rows.select(m.columns.map(col): _*))
+    writeManifest(table, next,
+      m.copy(groups = m.groups :+ Group(files, ListMap.empty)))
+    commit(table, next); next
+  }
+
+  /** DELETE WHERE cond: rewrite only the files containing matches. */
+  def delete(table: String, cond: Column): Long =
+    mutate(table, cond, df => df.filter(!coalesce(cond, lit(false))))
+
+  /** UPDATE SET col = value WHERE cond: rewrite only matching files. */
+  def update(table: String, cond: Column, setCol: String, value: Column): Long =
+    mutate(table, cond, df => df.withColumn(setCol,
+      when(coalesce(cond, lit(false)), value).otherwise(col(setCol))))
+
+  /** Copy-on-write at FILE granularity: a pushdown scan finds the files
+    * with matching rows (parquet footer min/max prunes the rest without
+    * reading data); only those files are rewritten — with the current
+    * schema materialized (migration-on-write) — and every untouched file
+    * is carried into the new manifest as-is. */
+  private def mutate(table: String, cond: Column,
+      rewrite: DataFrame => DataFrame): Long = {
+    val v = currentVersion(table)
+    require(v >= 0, s"table $table does not exist under $root")
+    val next = v + 1
+    val m = readManifest(table, v)
+    var kept = Seq.empty[Group]
+    var hitDfs = Seq.empty[DataFrame]
+    m.groups.foreach { g =>
+      var df = spark.read.parquet(g.paths.map(p => s"$root/$table/$p"): _*)
+        .withColumn("__file", input_file_name())
+      g.fills.foreach { case (c, sql) => df = df.withColumn(c, expr(sql)) }
+      val affected = df.filter(coalesce(cond, lit(false)))
+        .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
+      val (hit, unhit) = g.paths.partition(p => affected.exists(_.endsWith(p)))
+      if (unhit.nonEmpty) kept :+= Group(unhit, g.fills)
+      if (hit.nonEmpty) hitDfs :+= readGroup(table, g.copy(paths = hit), m.columns)
+    }
+    val groups =
+      if (hitDfs.isEmpty) kept
+      else {
+        val rewritten = rewrite(hitDfs.reduce(_.unionByName(_)))
+          .select(m.columns.map(col): _*)
+        val files = writeData(table, next, rewritten)
+        if (files.nonEmpty) kept :+ Group(files, ListMap.empty) else kept
+      }
+    require(groups.nonEmpty, s"mutation would leave $table with no files " +
+      "(delete of every row is expressed as create of the empty state)")
+    writeManifest(table, next, m.copy(groups = groups))
+    commit(table, next); next
   }
 
   /** ALTER TABLE ADD COLUMN with LAZY migration — the reference fork's
-    * headline feature (DESIGN.md:21-76: multiple live layout versions per
-    * table, defaults filled on read, tuples migrated on their next write):
-    * the new version stores only a schema delta pointing at the previous
-    * version's data; readers fill the default on the fly, and the next
-    * mutation (insert/update/delete) materializes the evolved layout via
-    * its normal copy-on-write rewrite. Older snapshots keep the old
-    * schema (time travel unaffected). `defaultSql` is a SQL expression. */
+    * headline feature (DESIGN.md:21-76): only a new manifest is written;
+    * readers fill the default on the fly; rewrites materialize it. */
   def addColumn(table: String, name: String, defaultSql: String): Long = {
     val v = currentVersion(table)
     require(v >= 0, s"table $table does not exist under $root")
     val next = v + 1
-    val dir = Paths.get(versionDir(table, next))
-    Files.createDirectories(dir)
-    Files.write(dir.resolve("schema_delta.json"),
-      s"""{"base":$v,"col":"$name","defaultSql":"$defaultSql"}"""
-        .getBytes("UTF-8"))
+    val m = readManifest(table, v)
+    require(!m.columns.contains(name), s"column $name already exists")
+    writeManifest(table, next, VersionManifest(m.columns :+ name,
+      m.groups.map(g => g.copy(fills = g.fills + (name -> defaultSql)))))
     commit(table, next); next
   }
 
-  /** INSERT: append rows as a new snapshot (old + new files). */
-  def insert(table: String, rows: DataFrame): Long = {
+  /** ALTER TABLE DROP COLUMN with LAZY semantics (the fork's symmetric
+    * delta, alter_plan_node.h:165 DropColumnCmd): only a new manifest is
+    * written — the column vanishes from the logical projection; data files
+    * keep it physically until their next rewrite; older snapshots (time
+    * travel) still expose it. */
+  def dropColumn(table: String, name: String): Long = {
     val v = currentVersion(table)
+    require(v >= 0, s"table $table does not exist under $root")
     val next = v + 1
-    read(table).unionByName(rows)
-      .write.mode(SaveMode.Overwrite).parquet(versionDir(table, next))
-    commit(table, next); next
-  }
-
-  /** DELETE WHERE cond: copy-on-write rewrite without matching rows. */
-  def delete(table: String, cond: org.apache.spark.sql.Column): Long = {
-    val next = currentVersion(table) + 1
-    read(table).filter(!coalesce(cond, lit(false)))
-      .write.mode(SaveMode.Overwrite).parquet(versionDir(table, next))
-    commit(table, next); next
-  }
-
-  /** UPDATE SET col = expr WHERE cond: copy-on-write rewrite. */
-  def update(table: String, cond: org.apache.spark.sql.Column,
-      setCol: String, value: org.apache.spark.sql.Column): Long = {
-    val next = currentVersion(table) + 1
-    read(table)
-      .withColumn(setCol, when(coalesce(cond, lit(false)), value).otherwise(col(setCol)))
-      .write.mode(SaveMode.Overwrite).parquet(versionDir(table, next))
+    val m = readManifest(table, v)
+    require(m.columns.contains(name), s"no column $name in $table")
+    writeManifest(table, next, VersionManifest(m.columns.filterNot(_ == name),
+      m.groups.map(g => g.copy(fills = g.fills - name))))
     commit(table, next); next
   }
 }

@@ -6,10 +6,22 @@ import org.apache.spark.sql.functions._
 import graft.sources.TableOps
 
 /** DML parity surface (reference Insert/Update/Delete, SURVEY.md §2.1) via
-  * snapshot copy-on-write tables. */
+  * file-level manifest commits (Iceberg-shaped): mutations write only the
+  * files they must; everything else is carried by reference. */
 class TableOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
+
+  private def dataFiles(root: String, table: String): Set[String] = {
+    val base = java.nio.file.Paths.get(root, table, "data")
+    if (!java.nio.file.Files.exists(base)) Set.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(_.toString).toSet
+    }
+  }
 
   test("create / insert / delete / update with snapshot isolation") {
     val ops = new TableOps(spark, TestSpark.tmpDir("graft-tables"))
@@ -35,31 +47,113 @@ class TableOpsSpec extends AnyFunSuite {
     assert(v3 == 3 && ops.currentVersion("t") == 3)
   }
 
-  test("ALTER ADD COLUMN is lazy: no data rewrite, default filled on read, migrated on write") {
+  test("INSERT is file-level: old data files are never rewritten or touched") {
+    val root = TestSpark.tmpDir("graft-tables-filelevel")
+    val ops = new TableOps(spark, root)
+    ops.create("t", (1L to 1000L).toDF("id").withColumn("grp", lit("base"))
+      .repartition(4))
+    val before = dataFiles(root, "t")
+    assert(before.size >= 4, s"expected multi-file table, got ${before.size}")
+    val mtimes = before.map(p =>
+      p -> java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(p))).toMap
+
+    ops.insert("t", Seq((2000L, "new")).toDF("id", "grp"))
+    val after = dataFiles(root, "t")
+    // every pre-existing file still present and untouched; only the new
+    // rows' file(s) were added — the O(new rows) commit
+    assert(before.subsetOf(after))
+    before.foreach { p =>
+      assert(java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(p)) == mtimes(p), s"insert rewrote $p")
+    }
+    assert((after -- before).size <= 2, "insert wrote more than the new rows")
+    assert(ops.read("t").count() == 1001)
+  }
+
+  test("DELETE/UPDATE rewrite only the files containing matches") {
+    val root = TestSpark.tmpDir("graft-tables-cow")
+    val ops = new TableOps(spark, root)
+    // two disjoint key ranges written as separate commits → separate files
+    ops.create("t", (1L to 100L).toDF("id").withColumn("v", lit(1.0)).coalesce(1))
+    ops.insert("t", (1000L to 1100L).toDF("id").withColumn("v", lit(1.0)).coalesce(1))
+    val before = dataFiles(root, "t")
+    val lowFiles = before.filter(p =>
+      spark.read.parquet(p).agg(max($"id")).as[Long].head() <= 100L)
+    assert(lowFiles.nonEmpty && lowFiles.size < before.size)
+
+    // delete touches only the high range → low-range files carried as-is
+    ops.delete("t", $"id" >= 1000L && $"id" < 1050L)
+    val after = dataFiles(root, "t")
+    assert(lowFiles.subsetOf(after), "delete rewrote unaffected files")
+    assert(ops.read("t").count() == 100 + 51)
+
+    // update touches only the low range → surviving high-range files kept
+    val highAfter = after -- lowFiles
+    ops.update("t", $"id" <= 50L, "v", lit(9.0))
+    val after2 = dataFiles(root, "t")
+    assert(highAfter.subsetOf(after2), "update rewrote unaffected files")
+    assert(ops.read("t").filter($"v" === 9.0).count() == 50)
+  }
+
+  test("ALTER ADD COLUMN is lazy: manifest-only, default filled on read, migrated on write") {
     val root = TestSpark.tmpDir("graft-tables-evolve")
     val ops = new TableOps(spark, root)
     ops.create("t", Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    val before = dataFiles(root, "t")
 
-    val vAlter = ops.addColumn("t", "tag", "'none'")
-    // LAZY: the alter version dir contains only the schema delta — the
-    // base version's parquet files were NOT rewritten (DESIGN.md:21-76)
-    val alterDir = new java.io.File(s"$root/t/v$vAlter")
-    assert(alterDir.listFiles().map(_.getName).toSet == Set("schema_delta.json"),
-      "ALTER rewrote data")
-    // default filled on read
+    ops.addColumn("t", "tag", "'none'")
+    // LAZY: no data written — the alter is a manifest (DESIGN.md:21-76)
+    assert(dataFiles(root, "t") == before, "ALTER rewrote data")
     val afterAlter = ops.read("t").select("id", "tag").as[(Long, String)]
       .collect().toMap
     assert(afterAlter == Map(1L -> "none", 2L -> "none"))
     // old snapshot keeps the old schema
     assert(!ops.readVersion("t", 0).columns.contains("tag"))
 
-    // next write materializes the evolved layout (migration-on-write)
-    val vIns = ops.insert("t", Seq((3L, "c", "fresh")).toDF("id", "name", "tag"))
+    // next write materializes the evolved layout for the rows it writes
+    ops.insert("t", Seq((3L, "c", "fresh")).toDF("id", "name", "tag"))
     val after = ops.read("t").select("id", "tag").as[(Long, String)]
       .collect().toMap
     assert(after == Map(1L -> "none", 2L -> "none", 3L -> "fresh"))
-    val insDir = new java.io.File(s"$root/t/v$vIns")
-    assert(insDir.listFiles().exists(_.getName.endsWith(".parquet")),
-      "insert after alter should materialize the evolved layout")
+
+    // a rewrite that touches the old files materializes the filled column
+    ops.update("t", $"id" === 1L, "name", lit("A"))
+    val all = ops.read("t").select("id", "name", "tag").as[(Long, String, String)]
+      .collect().toSet
+    assert(all == Set((1L, "A", "none"), (2L, "b", "none"), (3L, "c", "fresh")))
+  }
+
+  test("ALTER DROP COLUMN is lazy and symmetric: projection-only, time travel keeps it") {
+    val root = TestSpark.tmpDir("graft-tables-drop")
+    val ops = new TableOps(spark, root)
+    val v0 = ops.create("t", Seq((1L, "a", 1.5), (2L, "b", 2.5))
+      .toDF("id", "name", "score"))
+    val before = dataFiles(root, "t")
+
+    val vDrop = ops.dropColumn("t", "name")
+    assert(dataFiles(root, "t") == before, "DROP rewrote data")
+    assert(ops.read("t").columns.toSeq == Seq("id", "score"))
+    // the old snapshot still exposes the dropped column (lazy = physical
+    // data untouched, projection-level delta only)
+    assert(ops.readVersion("t", v0).columns.contains("name"))
+
+    // subsequent DML operates on the narrowed schema; rewritten files
+    // physically shed the column
+    ops.insert("t", Seq((3L, 3.5)).toDF("id", "score"))
+    ops.update("t", $"id" === 1L, "score", lit(9.9))
+    assert(ops.read("t").columns.toSeq == Seq("id", "score"))
+    assert(ops.read("t").count() == 3)
+    assert(vDrop == 1)
+  }
+
+  test("manifest JSON survives quotes/backslashes in defaults (no string interpolation)") {
+    val root = TestSpark.tmpDir("graft-tables-json")
+    val ops = new TableOps(spark, root)
+    ops.create("t", Seq((1L, "a")).toDF("id", "name"))
+    // a default whose SQL literal contains an escaped quote — the round-1
+    // regex/interpolation manifest silently truncated this
+    ops.addColumn("t", "note", "'it\\'s \"quoted\"'")
+    val vals = ops.read("t").select("note").as[String].collect().toSeq
+    assert(vals == Seq("""it's "quoted""""))
   }
 }
