@@ -66,21 +66,48 @@ object IndexQueries {
       cfg
     })
 
+  /** Searcher cached per dir next to the index cache: the Searcher's lazy
+    * serving state (localServe postings cache, norms, lexicon) is collected
+    * once per process instead of once per query. */
+  private val searcherCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Searcher]()
+
+  def searcherFor(s: SparkSession, dir: String): Searcher =
+    searcherCache.computeIfAbsent(dir, _ => new Searcher(s, indexFor(s, dir)))
+
   /** BM25 over the documents table through the whole index pipeline,
     * mapped back to doc_id.
     *
     * Scoring goes through the serving path (sharded Block-Max WAND;
     * driver-local for small/hot indexes) rather than full TAAT scoring:
     * top-(3k+20) is fetched by EXACT score, then re-sorted by the ROUNDED
-    * score the oracle orders on — the margin covers rounding ties at the
-    * k boundary (doc_id order == docId rank order for this corpus, so the
-    * tie-break keys agree). Bm25PathSpec pins this against the full
-    * scoreAll ranking. */
+    * score the oracle orders on. The margin is ADAPTIVE: if the rounded
+    * score at the k boundary still equals the rounded score of the last
+    * fetched doc — i.e. the tie group could extend past the fetch — the
+    * fetch widens (4×) until the boundary is provably closed or every
+    * matching doc is in hand. (doc_id order == docId rank order for this
+    * corpus, so the tie-break keys agree.) Bm25PathSpec pins this against
+    * the full scoreAll ranking. */
   def bm25(s: SparkSession, dir: String, query: String, k: Int): DataFrame = {
     import s.implicits._
     val cfg = indexFor(s, dir)
-    val searcher = new Searcher(s, cfg)
-    val top = searcher.searchWAND(query, 3 * k + 20)
+    val searcher = searcherFor(s, dir)
+    def r4(x: Double): Double = // Spark round(): BigDecimal HALF_UP
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var fetch = 3 * k + 20
+    var top = searcher.searchWAND(query, fetch)
+    var closed = false
+    while (!closed) {
+      if (top.length < fetch || top.length < k) closed = true // have everything
+      else {
+        val kth = top.map(sd => (-r4(sd.score), sd.docId)).sorted
+          .apply(k - 1)._1
+        // docs beyond the fetch score <= the last fetched EXACT score, so
+        // they can contest the cut only if its rounded score ties the kth
+        if (-kth > r4(top.last.score)) closed = true
+        else { fetch *= 4; top = searcher.searchWAND(query, fetch) }
+      }
+    }
     val scored = s.createDataset(top.toSeq).toDF()
     val docmap = s.read.parquet(cfg.docsPath)
       .select(col("docId"), col("path").cast("long").as("doc_id"))
@@ -95,7 +122,7 @@ object IndexQueries {
   def bm25FullScore(s: SparkSession, dir: String, query: String,
       k: Int): DataFrame = {
     val cfg = indexFor(s, dir)
-    val searcher = new Searcher(s, cfg)
+    val searcher = searcherFor(s, dir)
     val scored = searcher.scoreAll(query).toDF()
     val docmap = s.read.parquet(cfg.docsPath)
       .select(col("docId"), col("path").cast("long").as("doc_id"))

@@ -43,7 +43,7 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
     * write time; appends raise the corpus avgdl, which raises true tf-norms.
     * norm(a_new)/norm(a_old) <= a_new/a_old, so scaling stored bounds by
     * avgdlNow / min(avgDlAtBuild) keeps WAND pruning exact (only looser). */
-  private lazy val ubScale: Double = {
+  private[graft] lazy val ubScale: Double = {
     val m = new graft.checkpoint.Manifest(cfg.indexDir).read()
     val builds = m.values.flatMap(_.extra.get("avgDlAtBuild")).map(_.toDouble)
     if (builds.isEmpty) 1.0

@@ -63,6 +63,12 @@ class AppendSpec extends AnyFunSuite {
 
     // lineage across both segments
     assert(sA.verifyLineage((base ++ batch).toDS()) == 0L)
+
+    // the authoritative postings record tracks the MERGED block count after
+    // append (the Searcher's localServe/cache budgets gate on it)
+    val recBlocks = new graft.checkpoint.Manifest(dirA).get("postings").get.rows
+    assert(recBlocks == spark.read.parquet(cA.postingsPath).count(),
+      "postings record stale after append — localServe budget unguarded")
   }
 
   test("retried append after a mid-merge crash does NOT double df/cf") {
@@ -167,5 +173,61 @@ class AppendSpec extends AnyFunSuite {
     }
     // lineage still intact across the rebuilt docs table
     assert(sC.verifyLineage((base ++ batch ++ batch2).toDS()) == 0L)
+
+    // compaction re-stamped every stale avgDlAtBuild, so the WAND bound
+    // correction is exactly 1 again (tightest pruning) and the postings
+    // record reflects the rebuilt block count
+    assert(sC.ubScale == 1.0, s"post-compact ubScale ${sC.ubScale} != 1")
+    val mPost = new graft.checkpoint.Manifest(dir)
+    assert(mPost.get("postings").get.rows ==
+      spark.read.parquet(c.postingsPath).count(),
+      "postings record stale after compact")
+  }
+
+  test("compact() recovers an interrupted swap (crash between delete and move)") {
+    import spark.implicits._
+    import graft.checkpoint.{Manifest, StageRecord}
+    import org.apache.commons.io.FileUtils
+    import java.io.File
+    val dir = TestSpark.tmpDir("graft-compact-crash")
+    val c = cfg(dir)
+    IndexBuilder.build(spark, base.toDS(), c, "base")
+    IndexBuilder.append(spark, batch.toDS(), c, "b1")
+    IndexBuilder.compact(spark, c) // compact-0 completes normally
+    val want = {
+      val s = new Searcher(spark, c)
+      queries.map(q => q -> s.searchWAND(q, 10).toVector).toMap
+    }
+
+    // fabricate an interrupted compact-1 caught mid-swap: staged dirs fully
+    // written (a no-op recompaction: contents = the live dirs), the staged
+    // record committed, live docs DELETED but its replacement not yet moved
+    // — the exact delete→move crash window ADVICE r2 flagged
+    FileUtils.copyDirectory(new File(c.docsPath), new File(s"$dir/docs_compact"))
+    FileUtils.copyDirectory(new File(c.postingsPath), new File(s"$dir/postings_compact"))
+    FileUtils.copyDirectory(new File(c.lexiconPath), new File(s"$dir/lexicon_compact"))
+    val st = IndexBuilder.stats(c)
+    val m = new Manifest(dir)
+    val nb = m.get("postings").get.rows
+    m.commit(StageRecord("compact-1-staged", "complete",
+      s"v${IndexBuilder.FormatVersion}:compact1", nb, 0L,
+      Map("numDocs" -> st.numDocs.toString, "avgDl" -> st.avgDl.toString,
+          "totalTokens" -> st.totalTokens.toString,
+          "vocabN" -> st.vocabSize.toString, "nBlocks" -> nb.toString,
+          "compactedSegments" -> "1")))
+    FileUtils.deleteDirectory(new File(c.docsPath))
+    assert(!new File(c.docsPath).exists(), "crash state not set up")
+
+    // the index is torn; the next compact() must repair it before anything
+    val stR = IndexBuilder.compact(spark, c)
+    assert(stR.numDocs == 500)
+    assert(new File(c.docsPath).exists())
+    val sR = new Searcher(spark, c)
+    queries.foreach { q =>
+      assert(sR.searchWAND(q, 10).toVector == want(q),
+        s"recovered index wrong for '$q'")
+    }
+    assert(new Manifest(dir).get("compact-1").exists(_.status == "complete"),
+      "recovery did not finalize the interrupted compact")
   }
 }

@@ -213,7 +213,7 @@ class IndexSpec extends AnyFunSuite {
     Seq(1, 2, 5).foreach { parts =>
       val out = TestSpark.tmpDir(s"graft-rank-$parts")
       val n = IndexBuilder.writeRanked(spark, terms.toDS(), parts,
-        s"$out/stage", s"$out/vocab", baseId = 0L)
+        s"$out/vocab", baseId = 0L)
       assert(n == terms.length)
       val got = spark.read.parquet(s"$out/vocab")
         .select($"term", $"termId").as[(String, Int)].collect().toMap
