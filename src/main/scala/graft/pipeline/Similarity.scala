@@ -135,13 +135,9 @@ object Similarity {
   // high enough to be a near-dup cut, low enough to be non-empty at every sf
   private val embDedupThreshold = 0.30
 
-  // q42 candidate generation: more tables + fewer bits than q41 because the
-  // dedup threshold (cos 0.30) is a much weaker signal than top-k proximity.
-  // Empirically verified 100% recall vs the exact join at sf0.001/0.01/0.1
-  // with these parameters (pinned by SimilaritySpec); the recall dial at
-  // other data scales is DedupLshTables.
-  val DedupLshTables = 24
-  val DedupLshBits = 3
+  // q42 cell count for the exact centroid-pruned threshold join (bounded
+  // driver-side state: DedupCells centroids + radii)
+  val DedupCells = 16
 
   /** Multi-table random-hyperplane LSH signatures: L independent tables of
     * B bits; a vector lands in L buckets (`bucket = table * 2^B + sig`),
@@ -182,27 +178,80 @@ object Similarity {
   val extraQueries: Map[String, Q] = Map(
     // --- embedding-cosine near-duplicate detection (dedup family): pairs
     //     above a cosine threshold, sampled every 4th vector. Candidate
-    //     generation is the LSH bucket equi-join (never all-pairs — the
-    //     previous cartesian was the scale-killer flagged in VERDICT r1);
-    //     exact cosine re-check + threshold inside buckets. The exact-join
-    //     SQL oracle stays valid because bucket recall is 100% at the test
-    //     scales (verified by SimilaritySpec against the brute-force join).
+    //     generation is an EXACT centroid-pruned join (never all-pairs —
+    //     the round-1 cartesian was the scale-killer): vectors are assigned
+    //     to their nearest of DedupCells centroids; a cell pair (i,j) can
+    //     contain a qualifying pair only if
+    //       angle(c_i,c_j) - r_i - r_j <= arccos(threshold)
+    //     (angular triangle inequality, r = the cell's angular radius), so
+    //     pruned cell pairs are provably empty and the survivors join by
+    //     cell id (equi-join). Unlike the round-2 LSH formulation, recall
+    //     is 100% BY CONSTRUCTION — the exact-join SQL oracle is valid at
+    //     every scale and seed, not just the tested ones (ADVICE r2). On
+    //     clustered data (real near-dup corpora) most cell pairs prune; on
+    //     isotropic data nothing can prune without losing exactness — the
+    //     inherent price of an exact threshold join.
     "q42_embedding_dedup" -> ((s, d) => {
+      import s.implicits._
       val sampled = emb(s, d).filter(col("vec_id") % 4 === 0)
-        .select(col("vec_id"), col("embedding"))
-      val sigs = lshSignatures(s, sampled, DedupLshTables, DedupLshBits)
-      val l = sigs.select(col("bucket"), col("vec_id").as("a"), col("v").as("va"))
-      val r = sigs.select(col("bucket"), col("vec_id").as("b"), col("v").as("vb"))
-      // cosine computed BEFORE the dedup: a pair duplicated across L tables
-      // recomputes a cheap dot product, but the dedup shuffle then moves
-      // (a, b, cos) instead of two 64-dim vectors per row (~100× narrower)
-      l.join(r, Seq("bucket"))
-        .filter(col("a") < col("b"))
-        .select(col("a"), col("b"),
-          round(cosineSim(col("va"), col("vb")), 4).as("cos"))
-        .filter(col("cos") >= embDedupThreshold)
-        .dropDuplicates("a", "b")
-        .orderBy(col("a"), col("b"))
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val n = sampled.count()
+      val step = math.max(n / DedupCells, 1L)
+      // centroids: every step-th sampled vector (ids are multiples of 4) —
+      // a deterministic, <= DedupCells bounded collect
+      val cents: Array[(Int, Array[Double])] = sampled
+        .filter(expr(s"(vec_id DIV 4) % $step = 0") &&
+          expr(s"(vec_id DIV 4) DIV $step < $DedupCells"))
+        .as[(Long, Seq[Double])].collect()
+        .sortBy(_._1).zipWithIndex
+        .map { case ((_, v), i) => (i, v.toArray) }
+      val centB = s.sparkContext.broadcast(cents)
+      def cosLocal(a: Array[Double], b: Seq[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length && i < b.length) {
+          dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        if (na == 0.0 || nb == 0.0) -1.0
+        else math.max(-1.0, math.min(1.0, dot / (math.sqrt(na) * math.sqrt(nb))))
+      }
+      // assignment: one bounded map (<= DedupCells dot products per row)
+      val assigned = sampled.as[(Long, Seq[Double])]
+        .map { case (id, v) =>
+          val cs = centB.value.map { case (ci, c) => (ci, cosLocal(c, v)) }
+          val (cell, cos) = cs.minBy { case (ci, sim) => (-sim, ci) }
+          (id, cell, cos, v)
+        }
+        .toDF("vec_id", "cell", "cosToCent", "v")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // angular radius per cell (DedupCells rows — bounded collect)
+      val radii: Map[Int, Double] = assigned
+        .groupBy($"cell").agg(min($"cosToCent").as("minCos"))
+        .as[(Int, Double)].collect()
+        .map { case (c, mc) => c -> math.acos(math.max(-1.0, math.min(1.0, mc))) }
+        .toMap
+      // surviving cell pairs via the triangle-inequality bound; the filter
+      // threshold is the ROUNDED cut (round(cos,4) >= 0.30 admits cos >=
+      // 0.29995), widened by an epsilon dwarfing any FP noise in the bound
+      val thetaMax = math.acos(embDedupThreshold - 0.0001)
+      val cellPairs = (for {
+        (i, ci) <- cents.iterator
+        (j, cj) <- cents.iterator if i <= j
+        dij = math.acos(cosLocal(ci, cj.toSeq))
+        if dij - radii.getOrElse(i, 0.0) - radii.getOrElse(j, 0.0) <=
+          thetaMax + 1e-9
+      } yield (i, j)).toSeq
+      val cellPairsDF = broadcast(cellPairs.toDF("ca", "cb"))
+      val a = assigned.select($"cell".as("ca"), $"vec_id".as("ia"), $"v".as("va"))
+      val b = assigned.select($"cell".as("cb"), $"vec_id".as("ib"), $"v".as("vb"))
+      // each unordered vector pair appears exactly once: cross-cell pairs
+      // via their unique (ca <= cb) cell pair, same-cell pairs via ia < ib
+      a.join(cellPairsDF, "ca").join(b, "cb")
+        .filter($"ca" =!= $"cb" || $"ia" < $"ib")
+        .select(least($"ia", $"ib").as("a"), greatest($"ia", $"ib").as("b"),
+          round(cosineSim($"va", $"vb"), 4).as("cos"))
+        .filter($"cos" >= embDedupThreshold)
+        .orderBy($"a", $"b")
     })
   )
 

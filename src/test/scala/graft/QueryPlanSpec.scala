@@ -52,7 +52,7 @@ class QueryPlanSpec extends AnyFunSuite {
       s"expected partial+final HashAggregate:\n$p")
   }
 
-  test("q42: embedding dedup has NO cartesian/nested-loop join (LSH bucket equi-join)") {
+  test("q42: embedding dedup has NO cartesian/nested-loop join (cell-pair equi-join)") {
     val p = graft.pipeline.Similarity.extraQueries("q42_embedding_dedup")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
