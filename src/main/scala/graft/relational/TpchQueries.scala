@@ -636,6 +636,18 @@ object TpchQueries {
       ops.read("t").orderBy(col("o_orderkey"))
     }),
 
+    // --- ANALYZE TABLE / per-column statistics (reference
+    //     stats_calculator.cpp: ndv/min/max/null-fraction per column feed
+    //     the optimizer's cost model; the Spark-CBO twin is pinned in
+    //     StatsSpec): one aggregation pass, persisted beside the manifest.
+    "q78_analyze_stats" -> ((s, d) => {
+      val ops = freshTable(s, d, "q78")
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      ops.create("t", o)
+      ops.analyze("t")
+    }),
+
     // --- runtime Bloom-filter join (reference pushes a bloom filter from
     //     the hash-join build side, execution/sql/join_hash_table.h /
     //     bloom_filter.cpp): Spark's runtime bloom filter injects a
@@ -908,6 +920,27 @@ object TpchQueries {
     "q77_drop_column" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_orderkey < 700 ORDER BY o_orderkey""".stripMargin,
+    "q78_analyze_stats" ->
+      """SELECT col_name, n_nulls, ndv, min_num, max_num FROM (
+        |  SELECT 'o_orderkey' AS col_name,
+        |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+        |    count(DISTINCT o_orderkey)::BIGINT AS ndv,
+        |    CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+        |    CAST(max(o_orderkey) AS DOUBLE) AS max_num
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus',
+        |    sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT o_orderstatus)::BIGINT,
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice',
+        |    sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT o_totalprice)::BIGINT,
+        |    CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE)
+        |  FROM orders)
+        |ORDER BY col_name""".stripMargin,
     "q72_left_outer" ->
       """SELECT c_custkey, c_mktsegment,
         |  count(o_orderkey) AS n_big,

@@ -231,6 +231,57 @@ final class TableOps(spark: SparkSession, root: String) {
     commit(table, next); next
   }
 
+  /** ANALYZE TABLE: per-column statistics — row count, null count, exact
+    * NDV, numeric min/max — the same per-column stat set the reference's
+    * optimizer keeps (stats_calculator.cpp: HLL-backed ndv, min/max,
+    * null fraction feeding its cost model). Computed in ONE aggregation
+    * pass over the current snapshot, returned as a DataFrame AND persisted
+    * as stats-vN.json next to the manifest so the optimizer (or a human)
+    * reads them without a rescan; Spark's own CBO twin
+    * (`ANALYZE TABLE ... FOR ALL COLUMNS` + spark.sql.cbo.enabled) is
+    * exercised in StatsSpec. */
+  def analyze(table: String): DataFrame = {
+    val v = currentVersion(table)
+    require(v >= 0, s"table $table does not exist under $root")
+    val df = read(table)
+    val numeric = df.schema.fields.filter(f => f.dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _ => false
+    }).map(_.name).toSet
+    val aggs = df.schema.fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(sum(c.isNull.cast("long")).as(s"${f.name}__nulls"),
+        countDistinct(c).as(s"${f.name}__ndv")) ++
+        (if (numeric(f.name))
+          Seq(min(c).cast("double").as(s"${f.name}__min"),
+            max(c).cast("double").as(s"${f.name}__max"))
+        else Seq.empty)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    def g(n: String): Long = row.getAs[Long](n)
+    val statRows = df.schema.fields.map { f =>
+      (f.name, g(s"${f.name}__nulls"), g(s"${f.name}__ndv"),
+        if (numeric(f.name)) Option(row.getAs[java.lang.Double](s"${f.name}__min"))
+          .map(_.doubleValue) else None,
+        if (numeric(f.name)) Option(row.getAs[java.lang.Double](s"${f.name}__max"))
+          .map(_.doubleValue) else None)
+    }.sortBy(_._1)
+    val node = mapper.createObjectNode()
+    node.put("version", v)
+    val cols = node.putArray("columns")
+    statRows.foreach { case (name, nulls, ndv, mn, mx) =>
+      val o = cols.addObject()
+      o.put("name", name); o.put("nulls", nulls); o.put("ndv", ndv)
+      mn.foreach(o.put("min", _)); mx.foreach(o.put("max", _))
+    }
+    atomicWrite(Paths.get(root, table, s"stats-v$v.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+    import spark.implicits._
+    statRows.toSeq
+      .toDF("col_name", "n_nulls", "ndv", "min_num", "max_num")
+      .orderBy(col("col_name"))
+  }
+
   /** ALTER TABLE DROP COLUMN with LAZY semantics (the fork's symmetric
     * delta, alter_plan_node.h:165 DropColumnCmd): only a new manifest is
     * written — the column vanishes from the logical projection; data files
