@@ -71,10 +71,15 @@ object Bench {
         org.apache.spark.sql.functions.length(
           org.apache.spark.sql.functions.col("content"))))
       .head().getLong(0)
-    val bigDir = java.nio.file.Files.createTempDirectory("graft-bench-big").toString
-    val bigCfg = IndexConfig(indexDir = bigDir, numShards = 32,
-      heavyDfThreshold = 5000, buildPartitions = cpus.toInt)
-    val tBig = secs { IndexBuilder.build(spark, bigCorpus, bigCfg, "bench60k") }
+    // best-of-2 like the headline queries (±30% single-shot VM noise was
+    // whipsawing the recorded GB/h); each rep builds into a fresh dir
+    val bigBuilds = (1 to 2).map { _ =>
+      val bigDir = java.nio.file.Files.createTempDirectory("graft-bench-big").toString
+      val c = IndexConfig(indexDir = bigDir, numShards = 32,
+        heavyDfThreshold = 5000, buildPartitions = cpus.toInt)
+      (secs { IndexBuilder.build(spark, bigCorpus, c, "bench60k") }, c)
+    }
+    val (tBig, bigCfg) = bigBuilds.minBy(_._1)
     val gbPerHour = (bigBytes / 1e9) / (tBig / 3600.0)
 
     // 1c) distributed-WAND latency on the 60k index (above the local-serve

@@ -28,6 +28,30 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed rows disagree with batch: ${streamed.diff(batch).take(3)}")
   }
 
+  test("append-mode emission boundary: exactly the watermark-finalized windows") {
+    // the production (unbounded) output mode: a window is emitted exactly
+    // once, when the event-time watermark (max ts - 2h) passes its end.
+    // Round-2 left this boundary unpinned (subset-only assert above) — pin
+    // it: emitted set == batch windows whose end <= final watermark.
+    val streamed = StreamingOps.runToMemory(spark, sf, "stream_hourly_append2",
+        mode = "append")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val maxTs = events.agg(max($"ts")).head().getTimestamp(0).getTime
+    val wmMs = maxTs - 2L * 3600 * 1000
+    val expected = StreamingOps.hourlyAggBatch(events)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+      .filter { case (hr, _, _, _) => hr.getTime + 3600 * 1000 <= wmMs }
+      .toSet
+    assert(expected.nonEmpty, "test data leaves no finalized windows")
+    assert(streamed == expected,
+      s"boundary drift: missing=${(expected -- streamed).take(3)} " +
+        s"extra=${(streamed -- expected).take(3)}")
+  }
+
   test("sessionize emits deterministic gap-based sessions matching a plain fold") {
     val events = spark.read.parquet(s"$sf/events.parquet").as[Event]
     val got = StreamingOps.sessionize(events).collect()
