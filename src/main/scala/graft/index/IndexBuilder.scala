@@ -357,31 +357,48 @@ object IndexBuilder {
       .join(vocabIds, "term")
       .select($"termId", saltExpr.as("salt"), $"docId", $"tf", $"dl")
 
-    // 4× tasks per core: smaller per-task sort runs (better cache
-    // behavior, bounded task memory) and finer skew smoothing — the same
-    // sizing rule a cluster deployment uses (~128 MB sort runs per task)
-    val blocks = salted
-      .repartition(parts * 4, $"termId", $"salt")
+    // ---- packed-run shuffle (round 3) -------------------------------------
+    // The postings shuffle is the build's dominant data movement: one
+    // ~48-byte Tungsten row per posting, external-sorted reduce-side.
+    // Instead, each map partition locally sorts its postings ONCE and packs
+    // them into delta+VByte runs of ≤ RunPackCap postings — the shuffle
+    // then moves ~4-6 bytes per posting and the reduce side k-way-merges
+    // run streams (a trivial sort of run headers) instead of sorting rows.
+    // The merged per-(termId,salt) stream is docId-sorted exactly like the
+    // old sorter output, so the emitted blocks are identical.
+    val packed = salted
       .sortWithinPartitions($"termId", $"salt", $"docId")
       .as[(Int, Int, Long, Int, Int)]
+      .mapPartitions(it => packRuns(it, RunPackCap))
+      .toDF("termId", "salt", "firstDocId", "n", "bytes")
+
+    // 4× tasks per core: finer skew smoothing — the same sizing rule a
+    // cluster deployment uses; heavy terms are salted so one reducer sees
+    // at most ~df/numShards postings (now as packed runs)
+    val blocks = packed
+      .repartition(parts * 4, $"termId", $"salt")
+      .sortWithinPartitions($"termId", $"salt", $"firstDocId")
+      .as[(Int, Int, Long, Int, Array[Byte])]
       .mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
         val pt0 = System.nanoTime()
         var rows = 0L; var bytesOut = 0L
-        // Stream runs of equal termId — never materialize a full term's
-        // postings: emit a block whenever 1) blockSize postings buffered,
-        // 2) the docId shard changes, or 3) the term changes. At most
-        // blockSize postings are ever buffered per partition.
+        // Consume one (termId, salt) group of runs at a time: heap-merge
+        // the group's run cursors (decoded lazily, byte-cursor state only)
+        // and emit blocks that never span a shard boundary. Group memory =
+        // the group's PACKED bytes (~5 B/posting), bounded by salting.
         new Iterator[PostingBlockRow] {
           private val base = it.buffered
-          private var blockIdx = 0
           private var lastTerm = Int.MinValue
+          private var blockIdx = 0
+          private var termId = 0
+          private var heap: scala.collection.mutable.PriorityQueue[RunCursor] = _
           private var metricsEmitted = false
-          private val buf =
-            scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+
+          private def groupPending: Boolean = heap != null && heap.nonEmpty
 
           def hasNext: Boolean = {
-            val h = base.hasNext
+            val h = groupPending || base.hasNext
             if (!h && !metricsEmitted) {
               metricsAcc.add(PartitionMetric("postings", pid, rows, rows,
                 bytesOut, (System.nanoTime() - pt0) / 1000000))
@@ -390,16 +407,31 @@ object IndexBuilder {
             h
           }
 
-          def next(): PostingBlockRow = {
-            val termId = base.head._1
-            val shard = shardOf(base.head._3, nDocs, nShards)
+          private def loadGroup(): Unit = {
+            termId = base.head._1
+            val salt = base.head._2
             if (termId != lastTerm) { blockIdx = 0; lastTerm = termId }
-            buf.clear()
+            heap = scala.collection.mutable.PriorityQueue.empty[RunCursor](
+              Ordering.by[RunCursor, Long](_.docId).reverse)
+            while (base.hasNext && base.head._1 == termId &&
+                base.head._2 == salt) {
+              val c = new RunCursor(base.next()._5)
+              if (c.alive) heap.enqueue(c)
+            }
+          }
+
+          def next(): PostingBlockRow = {
+            if (!groupPending) loadGroup()
+            val shard = shardOf(heap.head.docId, nDocs, nShards)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
             var continue = true
-            while (continue && base.hasNext && buf.length < blockSize) {
-              val (t, _, d, tf, dl) = base.head
-              if (t == termId && shardOf(d, nDocs, nShards) == shard) {
-                buf += ((d, tf, dl)); rows += 1; base.next()
+            while (continue && heap.nonEmpty && buf.length < blockSize) {
+              val c = heap.head
+              if (shardOf(c.docId, nDocs, nShards) == shard) {
+                heap.dequeue()
+                buf += ((c.docId, c.tf, c.dl)); rows += 1
+                c.advance()
+                if (c.alive) heap.enqueue(c)
               } else continue = false
             }
             val b = PostingCodec.buildBlocks(termId, shard, buf.toSeq,
@@ -413,6 +445,62 @@ object IndexBuilder {
       }
     blocks.write.mode("overwrite").parquet(outPath)
     spark.read.parquet(outPath).count()
+  }
+
+  /** Cap on postings per packed shuffle run (~5 B/posting ⇒ ≤ ~40 KB run
+    * byte arrays; also bounds the reduce-side heap's per-cursor state). */
+  final val RunPackCap = 8192
+
+  /** Map-side run packing for the postings shuffle: consumes a partition
+    * locally sorted by (termId, salt, docId) and emits
+    * (termId, salt, firstDocId, n, bytes) runs, where bytes is the VByte
+    * stream of (docId-delta, tf, dl) triples (first delta is the absolute
+    * docId). One Tungsten row per ≤ RunPackCap postings instead of one per
+    * posting. */
+  private[graft] def packRuns(it: Iterator[(Int, Int, Long, Int, Int)],
+      cap: Int): Iterator[(Int, Int, Long, Int, Array[Byte])] = {
+    val base = it.buffered
+    new Iterator[(Int, Int, Long, Int, Array[Byte])] {
+      def hasNext: Boolean = base.hasNext
+      def next(): (Int, Int, Long, Int, Array[Byte]) = {
+        val (termId, salt, first, _, _) = base.head
+        val out = scala.collection.mutable.ArrayBuilder.make[Byte]
+        out.sizeHint(cap / 2)
+        var prev = 0L
+        var n = 0
+        var continue = true
+        while (continue && base.hasNext && n < cap) {
+          val (t, s, d, tf, dl) = base.head
+          if (t == termId && s == salt) {
+            graft.codec.VByte.encode(d - prev, out); prev = d
+            graft.codec.VByte.encode(tf.toLong, out)
+            graft.codec.VByte.encode(dl.toLong, out)
+            n += 1; base.next()
+          } else continue = false
+        }
+        (termId, salt, first, n, out.result())
+      }
+    }
+  }
+
+  /** Lazy cursor over one packed run: decodes (docId, tf, dl) triples one
+    * at a time — per-cursor state is just the byte position. */
+  private[graft] final class RunCursor(bytes: Array[Byte]) {
+    private val pos = Array(0)
+    var docId: Long = 0L
+    var tf: Int = 0
+    var dl: Int = 0
+    var alive: Boolean = true
+    advance()
+
+    def advance(): Unit = {
+      if (pos(0) >= bytes.length) { alive = false; docId = Long.MaxValue }
+      else {
+        docId += graft.codec.VByte.decode(bytes, pos)
+        tf = graft.codec.VByte.decode(bytes, pos).toInt
+        dl = graft.codec.VByte.decode(bytes, pos).toInt
+      }
+    }
   }
 
   /** Per-term stats aggregated from block metadata → lexicon parquet,
