@@ -57,8 +57,15 @@ final class TableOps(spark: SparkSession, root: String) {
 
   def currentVersion(table: String): Long = {
     val m = currentMarker(table)
-    if (Files.exists(m)) new String(Files.readAllBytes(m), "UTF-8").trim.toLong
-    else -1L
+    var v =
+      if (Files.exists(m)) new String(Files.readAllBytes(m), "UTF-8").trim.toLong
+      else -1L
+    // roll forward past a crash between claim+manifest and the pointer
+    // move: claim + manifest together mean the commit is durable — the
+    // pointer is only a cache of "highest committed"
+    while (Files.exists(claimPath(table, v + 1)) &&
+        Files.exists(manifestPath(table, v + 1))) v += 1
+    v
   }
 
   private def atomicWrite(target: Path, bytes: Array[Byte]): Unit = {
@@ -72,8 +79,35 @@ final class TableOps(spark: SparkSession, root: String) {
     }
   }
 
-  private def commit(table: String, v: Long): Unit =
+  private def claimPath(table: String, v: Long): Path =
+    Paths.get(root, table, "commits", s"v$v")
+
+  /** Optimistic-concurrency commit (the Iceberg catalog-CAS analogue on a
+    * plain filesystem): exactly ONE writer wins each version number via an
+    * atomic create-new claim file; the loser gets a
+    * ConcurrentCommitException and must recompute against the new current
+    * version (its orphaned uuid data dirs are harmless). Claim, then
+    * manifest, then pointer — a crash after the claim+manifest is rolled
+    * forward by currentVersion(); a crash between claim and manifest
+    * leaves an in-doubt claim that subsequent commits surface with a
+    * recovery instruction rather than silently losing either write. */
+  private def commitVersion(table: String, v: Long, m: VersionManifest): Unit = {
+    val claim = claimPath(table, v)
+    Files.createDirectories(claim.getParent)
+    try Files.createFile(claim)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      if (Files.exists(manifestPath(table, v)))
+        throw new TableOps.ConcurrentCommitException(
+          s"table $table: version $v was committed by another writer — " +
+            "reread the table and retry the operation")
+      else
+        throw new TableOps.ConcurrentCommitException(
+          s"table $table: version $v has an in-doubt claim (a writer " +
+            s"crashed between claim and manifest) — remove $claim to recover")
+    }
+    writeManifest(table, v, m)
     atomicWrite(currentMarker(table), v.toString.getBytes("UTF-8"))
+  }
 
   private def writeManifest(table: String, v: Long, m: VersionManifest): Unit = {
     // merge groups with identical fills so the manifest grows with distinct
@@ -137,9 +171,9 @@ final class TableOps(spark: SparkSession, root: String) {
   def create(table: String, df: DataFrame): Long = {
     val v = currentVersion(table) + 1
     val files = writeData(table, v, df)
-    writeManifest(table, v, VersionManifest(df.columns.toSeq,
+    commitVersion(table, v, VersionManifest(df.columns.toSeq,
       Seq(Group(files, ListMap.empty))))
-    commit(table, v); v
+    v
   }
 
   def read(table: String): DataFrame = {
@@ -166,9 +200,9 @@ final class TableOps(spark: SparkSession, root: String) {
     val next = v + 1
     val m = readManifest(table, v)
     val files = writeData(table, next, rows.select(m.columns.map(col): _*))
-    writeManifest(table, next,
+    commitVersion(table, next,
       m.copy(groups = m.groups :+ Group(files, ListMap.empty)))
-    commit(table, next); next
+    next
   }
 
   /** DELETE WHERE cond: rewrite only the files containing matches. */
@@ -213,8 +247,8 @@ final class TableOps(spark: SparkSession, root: String) {
       }
     require(groups.nonEmpty, s"mutation would leave $table with no files " +
       "(delete of every row is expressed as create of the empty state)")
-    writeManifest(table, next, m.copy(groups = groups))
-    commit(table, next); next
+    commitVersion(table, next, m.copy(groups = groups))
+    next
   }
 
   /** ALTER TABLE ADD COLUMN with LAZY migration — the reference fork's
@@ -226,9 +260,9 @@ final class TableOps(spark: SparkSession, root: String) {
     val next = v + 1
     val m = readManifest(table, v)
     require(!m.columns.contains(name), s"column $name already exists")
-    writeManifest(table, next, VersionManifest(m.columns :+ name,
+    commitVersion(table, next, VersionManifest(m.columns :+ name,
       m.groups.map(g => g.copy(fills = g.fills + (name -> defaultSql)))))
-    commit(table, next); next
+    next
   }
 
   /** ANALYZE TABLE: per-column statistics — row count, null count, exact
@@ -293,8 +327,15 @@ final class TableOps(spark: SparkSession, root: String) {
     val next = v + 1
     val m = readManifest(table, v)
     require(m.columns.contains(name), s"no column $name in $table")
-    writeManifest(table, next, VersionManifest(m.columns.filterNot(_ == name),
+    commitVersion(table, next, VersionManifest(m.columns.filterNot(_ == name),
       m.groups.map(g => g.copy(fills = g.fills - name))))
-    commit(table, next); next
+    next
   }
+}
+
+object TableOps {
+  /** Thrown when another writer committed the version this operation tried
+    * to claim (write-write conflict under optimistic concurrency). */
+  final class ConcurrentCommitException(msg: String)
+    extends RuntimeException(msg)
 }

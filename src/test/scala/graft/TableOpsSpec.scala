@@ -146,6 +146,40 @@ class TableOpsSpec extends AnyFunSuite {
     assert(vDrop == 1)
   }
 
+  test("optimistic concurrency: conflicting writers cannot silently lose updates") {
+    val root = TestSpark.tmpDir("graft-tables-occ")
+    val ops = new TableOps(spark, root)
+    ops.create("t", Seq((1L, 1.0)).toDF("id", "v"))
+    // another writer claims version 1 and commits it (claim + manifest):
+    // simulate with a second TableOps instance racing ahead
+    val other = new TableOps(spark, root)
+    other.insert("t", Seq((2L, 2.0)).toDF("id", "v"))
+    assert(ops.currentVersion("t") == 1)
+    // a writer that computed against the stale base and tries to commit the
+    // same version number must FAIL, not overwrite — here we force the
+    // collision by pre-claiming the next version like an in-flight writer
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "t", "commits"))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(root, "t", "commits", "v2"))
+    val e = intercept[graft.sources.TableOps.ConcurrentCommitException] {
+      ops.insert("t", Seq((3L, 3.0)).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("claim"))
+    // recovery: remove the in-doubt claim, retry succeeds
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "t", "commits", "v2"))
+    ops.insert("t", Seq((3L, 3.0)).toDF("id", "v"))
+    assert(ops.read("t").count() == 3)
+
+    // crash between claim+manifest and pointer move: pointer lags, but the
+    // commit is durable — currentVersion rolls forward
+    val marker = java.nio.file.Paths.get(root, "t", "current")
+    java.nio.file.Files.write(marker, "1".getBytes("UTF-8"))
+    assert(ops.currentVersion("t") == 2, "roll-forward failed")
+    assert(ops.read("t").count() == 3)
+  }
+
   test("manifest JSON survives quotes/backslashes in defaults (no string interpolation)") {
     val root = TestSpark.tmpDir("graft-tables-json")
     val ops = new TableOps(spark, root)
