@@ -88,11 +88,13 @@ final case class PartitionMetric(
   *   3. postings — explode forward into (term, docId, tf, dl); assign dense
   *                 termIds distributively (same offset-rank trick); detect
   *                 heavy terms (df > threshold) with a map-side-combined
-  *                 count over the pruned terms column; repartition by
-  *                 (term, salt) where salt = docId shard for heavy terms,
-  *                 0 otherwise; sort within partitions by (term, salt,
-  *                 docId); stream-encode delta+VByte blocks with block-max
-  *                 metadata.
+  *                 count over the pruned terms column; locally sort each
+  *                 map partition by (termId, salt, docId) — salt = docId
+  *                 shard for heavy terms, 0 otherwise — and pack
+  *                 delta+VByte runs (~5 B/posting); shuffle the PACKED
+  *                 runs on (termId, salt); k-way-merge run cursors
+  *                 reduce-side and stream-encode delta+VByte blocks with
+  *                 block-max metadata.
   *   4. lexicon  — per-term stats (df, cf, nBlocks, maxTfNorm) aggregated
   *                 from block metadata.
   *
