@@ -55,7 +55,11 @@ object ScalingBench {
             org.apache.spark.sql.functions.col("content"))))
         .head().getLong(0)
       val dir = java.nio.file.Files.createTempDirectory(s"graft-scale$cores").toString
-      val cfg = IndexConfig(indexDir = dir, numShards = 32,
+      // autoShards == 32 at every parallelism level on this box (the
+      // single-box floor), so shard layout — and therefore results — are
+      // identical across the N/4N legs
+      val cfg = IndexConfig(indexDir = dir,
+        numShards = IndexConfig.autoShards(spark),
         heavyDfThreshold = 5000, buildPartitions = cores)
       val t0 = System.nanoTime()
       IndexBuilder.build(spark, corpus, cfg, s"scaling-$numFiles")

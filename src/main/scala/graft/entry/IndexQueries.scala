@@ -37,43 +37,41 @@ object IndexQueries {
       .as[SourceFile]
   }
 
-  /** Per-process index cache: one build per (sfDir) under java.io.tmpdir.
+  /** Per-process index cache: one build per sfDir under java.io.tmpdir.
     * The build fingerprint includes a CONTENT fingerprint (sizes + mtimes of
     * the source parquet files), so an index persisted by a previous JVM run
-    * is invalidated — not silently reused — if the data at the path changed. */
+    * OR rebuilt data at the same path in-process is invalidated — not
+    * silently reused (ADVICE r3: the old dir-only key served stale state
+    * after in-process regeneration). */
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, IndexConfig]()
 
-  private def contentFingerprint(dir: String): String = {
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val files =
-      if (src.isDirectory) src.listFiles().filter(_.isFile).sortBy(_.getName)
-      else Array(src)
-    val h = java.security.MessageDigest.getInstance("MD5")
-    files.foreach { f =>
-      h.update(s"${f.getName}:${f.length}:${f.lastModified}".getBytes("UTF-8"))
-    }
-    h.digest().map(b => f"$b%02x").mkString
-  }
+  private def contentFingerprint(dir: String): String =
+    graft.sources.ContentFingerprint.of(s"$dir/documents.parquet")
 
   def indexFor(s: SparkSession, dir: String): IndexConfig =
-    cache.computeIfAbsent(dir, _ => {
+    cache.computeIfAbsent(s"$dir@${contentFingerprint(dir)}", key => {
       val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_idx$safe"
       val cfg = IndexConfig(indexDir = idxDir, numShards = 8,
         heavyDfThreshold = 1000)
-      IndexBuilder.build(s, corpusFromDocuments(s, dir), cfg,
-        fingerprint = s"$dir@${contentFingerprint(dir)}")
+      IndexBuilder.build(s, corpusFromDocuments(s, dir), cfg, fingerprint = key)
       cfg
     })
 
-  /** Searcher cached per dir next to the index cache: the Searcher's lazy
-    * serving state (localServe postings cache, norms, lexicon) is collected
-    * once per process instead of once per query. */
+  /** Searcher cached per (session, dir, content fingerprint): the
+    * Searcher's lazy serving state (localServe postings cache, norms,
+    * lexicon) is collected once per process instead of once per query, but
+    * a changed dataset or a replaced SparkSession gets a FRESH Searcher —
+    * the fingerprint+session key is the invalidation hook (ADVICE r3: a
+    * dir-only key pinned the first session and served stale BM25 after an
+    * in-process index change). */
   private val searcherCache =
     new java.util.concurrent.ConcurrentHashMap[String, Searcher]()
 
   def searcherFor(s: SparkSession, dir: String): Searcher =
-    searcherCache.computeIfAbsent(dir, _ => new Searcher(s, indexFor(s, dir)))
+    searcherCache.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir@${contentFingerprint(dir)}",
+      _ => new Searcher(s, indexFor(s, dir)))
 
   /** BM25 over the documents table through the whole index pipeline,
     * mapped back to doc_id.

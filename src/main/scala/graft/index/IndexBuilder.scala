@@ -28,10 +28,26 @@ final case class IndexConfig(
     indexDir: String,
     bm25: BM25Params = BM25Params(),
     blockSize: Int = PostingCodec.DefaultBlockSize,
+    // Sizing rule: a reduce group in the postings shuffle holds one
+    // (termId, salt) — for a salted heavy term that is ~df/numShards
+    // postings at ~5 packed bytes each (~48 B/row unpacked), so numShards
+    // must grow with the biggest df the deployment expects:
+    // numShards >= maxDf * 5 B / perGroupBudget, and >= total cores so
+    // sharded serving saturates the cluster. IndexConfig.autoShards derives
+    // it from the session; 32 is the single-box default (at 10^9+ docs a
+    // mega-df term needs numShards in the hundreds).
     numShards: Int = 32,
     heavyDfThreshold: Long = 100000L,
     maxHeavyTerms: Int = 4096,
-    buildPartitions: Int = 0) {
+    buildPartitions: Int = 0,
+    // Pack the postings shuffle into delta+VByte runs (~5 B/posting on the
+    // wire vs a ~48 B Tungsten row). Default ON for the target regime —
+    // network-shuffle clusters, where the ~6x byte cut dominates. Turn OFF
+    // for small-core/local-disk layouts (local NVMe shuffle is not
+    // byte-bound, so the pack/merge CPU (~15-25% of the postings stage) is
+    // pure overhead there). Output is bit-identical either way (pinned by
+    // IndexSpec).
+    packRuns: Boolean = true) {
   def keymapPath: String = s"$indexDir/keymap"
   def forwardPath: String = s"$indexDir/forward"
   def vocabPath: String = s"$indexDir/vocab"
@@ -39,6 +55,14 @@ final case class IndexConfig(
   def postingsPath: String = s"$indexDir/postings"
   def lexiconPath: String = s"$indexDir/lexicon"
   def metricsPath: String = s"$indexDir/metrics"
+}
+
+object IndexConfig {
+  /** Derived numShards for a session (see the sizing rule at the field):
+    * at least the total core count so sharded serving and salted reducers
+    * saturate the cluster, floored at the single-box default. */
+  def autoShards(spark: SparkSession): Int =
+    math.max(32, spark.sparkContext.defaultParallelism)
 }
 
 /** A tokenized document before rank assignment. `terms`/`tfs` are parallel
@@ -359,7 +383,7 @@ object IndexBuilder {
       .join(vocabIds, "term")
       .select($"termId", saltExpr.as("salt"), $"docId", $"tf", $"dl")
 
-    // ---- packed-run shuffle (round 3) -------------------------------------
+    // ---- packed-run shuffle (round 3; cfg.packRuns toggle round 4) --------
     // The postings shuffle is the build's dominant data movement: one
     // ~48-byte Tungsten row per posting, external-sorted reduce-side.
     // Instead, each map partition locally sorts its postings ONCE and packs
@@ -368,16 +392,28 @@ object IndexBuilder {
     // run streams (a trivial sort of run headers) instead of sorting rows.
     // The merged per-(termId,salt) stream is docId-sorted exactly like the
     // old sorter output, so the emitted blocks are identical.
-    val packed = salted
+    // cfg.packRuns = false skips the pack (raw-row shuffle + reduce-side
+    // sort): the right choice where the shuffle is local-disk-bound rather
+    // than network-bound — see the IndexConfig field doc. Both paths emit
+    // bit-identical blocks (IndexSpec pins it).
+    //
+    // 4× tasks per core in both paths: finer skew smoothing — the same
+    // sizing rule a cluster deployment uses; heavy terms are salted so one
+    // reducer sees at most ~df/numShards postings.
+    val blocks = if (!cfg.packRuns) {
+      salted
+        .repartition(parts * 4, $"termId", $"salt")
+        .sortWithinPartitions($"termId", $"salt", $"docId")
+        .as[(Int, Int, Long, Int, Int)]
+        .mapPartitions { it =>
+          encodeSortedPostings(it, nDocs, nShards, blockSize, bm25, avgDlV,
+            metricsAcc)
+        }
+    } else salted
       .sortWithinPartitions($"termId", $"salt", $"docId")
       .as[(Int, Int, Long, Int, Int)]
       .mapPartitions(it => packRuns(it, RunPackCap))
       .toDF("termId", "salt", "firstDocId", "n", "bytes")
-
-    // 4× tasks per core: finer skew smoothing — the same sizing rule a
-    // cluster deployment uses; heavy terms are salted so one reducer sees
-    // at most ~df/numShards postings (now as packed runs)
-    val blocks = packed
       .repartition(parts * 4, $"termId", $"salt")
       .sortWithinPartitions($"termId", $"salt", $"firstDocId")
       .as[(Int, Int, Long, Int, Array[Byte])]
@@ -452,6 +488,58 @@ object IndexBuilder {
   /** Cap on postings per packed shuffle run (~5 B/posting ⇒ ≤ ~40 KB run
     * byte arrays; also bounds the reduce-side heap's per-cursor state). */
   final val RunPackCap = 8192
+
+  /** The packRuns=false reduce side: consume raw posting rows, already
+    * shuffle-sorted by (termId, salt, docId), and stream-emit blocks that
+    * never span a shard boundary — O(blockSize) memory, identical block
+    * boundaries and contents to the packed path's k-way merge (the merged
+    * packed stream is the same docId-sorted sequence). */
+  private def encodeSortedPostings(it0: Iterator[(Int, Int, Long, Int, Int)],
+      nDocs: Long, nShards: Int, blockSize: Int, bm25: BM25Params,
+      avgDl: Double,
+      metricsAcc: CollectionAccumulator[PartitionMetric])
+      : Iterator[PostingBlockRow] = {
+    val pid = TaskContext.getPartitionId()
+    val pt0 = System.nanoTime()
+    val base = it0.buffered
+    new Iterator[PostingBlockRow] {
+      private var lastTerm = Int.MinValue
+      private var blockIdx = 0
+      private var rows = 0L
+      private var bytesOut = 0L
+      private var metricsEmitted = false
+
+      def hasNext: Boolean = {
+        val h = base.hasNext
+        if (!h && !metricsEmitted) {
+          metricsAcc.add(PartitionMetric("postings", pid, rows, rows,
+            bytesOut, (System.nanoTime() - pt0) / 1000000))
+          metricsEmitted = true
+        }
+        h
+      }
+
+      def next(): PostingBlockRow = {
+        val (termId, salt, first, _, _) = base.head
+        if (termId != lastTerm) { blockIdx = 0; lastTerm = termId }
+        val shard = shardOf(first, nDocs, nShards)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+        var continue = true
+        while (continue && base.hasNext && buf.length < blockSize) {
+          val (t, s, d, tf, dl) = base.head
+          if (t == termId && s == salt && shardOf(d, nDocs, nShards) == shard) {
+            buf += ((d, tf, dl)); rows += 1; base.next()
+          } else continue = false
+        }
+        val b = PostingCodec.buildBlocks(termId, shard, buf.toSeq,
+          (tf, dl) => tfNorm(tf, dl, avgDl, bm25), blockSize)
+          .head.copy(blockIdx = blockIdx)
+        blockIdx += 1
+        bytesOut += b.bytes.length
+        b
+      }
+    }
+  }
 
   /** Map-side run packing for the postings shuffle: consumes a partition
     * locally sorted by (termId, salt, docId) and emits

@@ -139,11 +139,31 @@ object Similarity {
   // driver-side state: DedupCells centroids + radii)
   val DedupCells = 16
 
-  // q42 per-dir cache of the (vec_id, cell, cosToCent, v) assignment —
-  // persisted once per dataset dir, reused by the radii aggregation and
-  // both join sides across repeated calls
+  // q42 cache of the (vec_id, cell, cosToCent, v) assignment — persisted
+  // once per dataset, reused by the radii aggregation and both join sides
+  // across repeated calls. Keyed per dir on (session identity, content
+  // fingerprint), not the bare dir (ADVICE r3): regenerated data or a
+  // replaced SparkSession invalidates the entry, and the superseded
+  // DataFrame is unpersisted so MEMORY_AND_DISK blocks don't leak.
+  private case class CachedAssign(key: String, df: DataFrame)
   private val dedupAssignCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, CachedAssign]()
+
+  private def cachedAssign(s: SparkSession, d: String,
+      build: () => DataFrame): DataFrame = dedupAssignCache.synchronized {
+    val key = s"${System.identityHashCode(s)}@" +
+      graft.sources.ContentFingerprint.of(s"$d/embeddings.parquet")
+    val existing = dedupAssignCache.get(d)
+    if (existing != null && existing.key == key) existing.df
+    else {
+      if (existing != null)
+        try existing.df.unpersist()
+        catch { case _: Exception => () } // stale session: nothing to free
+      val df = build()
+      dedupAssignCache.put(d, CachedAssign(key, df))
+      df
+    }
+  }
 
   /** Multi-table random-hyperplane LSH signatures: L independent tables of
     * B bits; a vector lands in L buckets (`bucket = table * 2^B + sig`),
@@ -222,9 +242,9 @@ object Similarity {
         else math.max(-1.0, math.min(1.0, dot / (math.sqrt(na) * math.sqrt(nb))))
       }
       // assignment: one bounded map (<= DedupCells dot products per row).
-      // Cached per dataset dir (NOT re-persisted per call — the three
+      // Cached per dataset (NOT re-persisted per call — the three
       // consumers below reuse one materialization across repeated calls)
-      val assigned = dedupAssignCache.computeIfAbsent(d, _ =>
+      val assigned = cachedAssign(s, d, () =>
         sampled.as[(Long, Seq[Double])]
           .map { case (id, v) =>
             val cs = centB.value.map { case (ci, c) => (ci, cosLocal(c, v)) }

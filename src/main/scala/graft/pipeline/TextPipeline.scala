@@ -243,6 +243,26 @@ object TextPipeline {
         .orderBy(col("a"), col("b"))
     }),
 
+    // --- fuzzy-dedup canonicalization: connected components over the q35
+    //     near-dup pair graph (alternating large-star/small-star — see
+    //     ConnectedComponents), then per-doc keep/drop: component = the
+    //     minimum doc_id reachable through near-dup pairs, canonical = the
+    //     component minimum. This closes the dedup family end-to-end
+    //     (candidates → pairs → components → keep/drop), the step a
+    //     training-data pipeline actually executes after candidate
+    //     generation. Singletons (no near-dup) are their own canonical.
+    "q79_dedup_components" -> ((s, d) => {
+      val pairs = queries("q35_minhash_pairs")(s, d).select(col("a"), col("b"))
+      val (labels, _) = ConnectedComponents.run(s, pairs)
+      val nodes = docs(s, d).filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+      nodes.join(labels, nodes("doc_id") === labels("node"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"),
+          (coalesce(col("component"), col("doc_id")) === col("doc_id"))
+            .as("is_canonical"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- token counting, whitespace + BPE-ish regex (the two counting
     //     conventions an LLM-data pipeline actually reports): whitespace
     //     tokens via split, BPE-ish tokens via a GPT-2-style pattern
@@ -362,6 +382,35 @@ object TextPipeline {
          |FROM bands l JOIN bands r
          |  ON l.band = r.band AND l.k1 = r.k1 AND l.k2 = r.k2 AND l.doc_id < r.doc_id
          |ORDER BY a, b""".stripMargin
+    },
+    // q79: the same q35 pair CTE, then component = min reachable doc_id via
+    // a recursive min-reachability CTE (an independent formulation of CC —
+    // transitive closure + min — deliberately unlike the star-contraction
+    // the engine runs)
+    "q79_dedup_components" -> {
+      val hashSql = (0 until MinhashHashes).map(j =>
+        s"min((h*${MinhashA(j)} + ${MinhashB(j)}) % $MinhashP) AS mh$j").mkString(",\n  ")
+      val bandSql = (0 until MinhashBands).map(b =>
+        s"SELECT doc_id, $b AS band, mh${2 * b} AS k1, mh${2 * b + 1} AS k2 FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH RECURSIVE toks AS ($tokensSqlDuck),
+         |hv AS (SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(term),1,7)) AS BIGINT) AS h
+         |       FROM (SELECT DISTINCT doc_id, term FROM toks) WHERE doc_id % 5 = 0),
+         |sig AS (SELECT doc_id, $hashSql FROM hv GROUP BY 1),
+         |bands AS ($bandSql),
+         |pairs AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bands l JOIN bands r
+         |    ON l.band = r.band AND l.k1 = r.k1 AND l.k2 = r.k2 AND l.doc_id < r.doc_id),
+         |nodes AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 5 = 0),
+         |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT doc_id, doc_id FROM nodes
+         |  UNION
+         |  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node)
+         |SELECT node AS doc_id, min(lab)::BIGINT AS component,
+         |  (node = min(lab)) AS is_canonical
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
     },
     "q36_ngram_jaccard" ->
       s"""WITH sampled AS (

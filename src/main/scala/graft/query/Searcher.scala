@@ -69,6 +69,12 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
   val BroadcastNormsMaxDocs: Long = 10000000L
 
   private lazy val normsLocalArr: Array[Int] = {
+    // Int-indexed by construction: only reachable below
+    // BroadcastNormsMaxDocs, and the array cannot represent more — if the
+    // threshold is ever raised past Int.MaxValue this must become a
+    // Long-indexed structure (the cogroup path has no such bound)
+    require(stats.numDocs <= Int.MaxValue,
+      s"normsLocalArr is Int-indexed; ${stats.numDocs} docs need the cogroup path")
     val arr = new Array[Int](stats.numDocs.toInt)
     norms.collect().foreach { case (d, dl) => arr(d.toInt) = dl }
     arr

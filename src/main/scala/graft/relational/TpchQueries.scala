@@ -551,6 +551,24 @@ object TpchQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // --- RIGHT OUTER join (reference logical_operators.h:548, physical
+    //     RightNLJoin family physical_operators.h:519): the symmetric of
+    //     q72 with the preserved side on the RIGHT — every customer keeps a
+    //     row even with no qualifying urgent order; count(o_orderkey)
+    //     counts matches only, count(*) counts the NULL-extended row too
+    //     (the distinction only an outer join exposes).
+    "q74_right_outer" -> ((s, d) => {
+      val o = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 150000.0)
+      val c = t(s, d, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "right_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_urgent"),
+          count(lit(1)).as("n_rows"),
+          round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("total_urgent"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // --- FULL OUTER join of two filtered projections (reference
     //     LogicalOuterJoin logical_operators.h:586): each side contributes
     //     rows the other lacks; the NULL pattern (only_a/only_b) is part of
@@ -615,7 +633,12 @@ object TpchQueries {
         (sum(col("l_extendedprice")) * 1.2 /
           countDistinct(col("l_partkey"))).as("cutoff"))
       per.crossJoin(broadcast(cut))
-        .filter(col("value") > col("cutoff"))
+        // compare on the rounded grid (both engines): the raw sums differ
+        // by summation-order ulps across engines, so a part whose value
+        // lands within ulps of the cutoff could flip membership — rounding
+        // both sides to 4 decimals puts the comparison on a grid where tie
+        // spacing dwarfs the ulp noise (ADVICE r3)
+        .filter(round(col("value"), 4) > round(col("cutoff"), 4))
         .select(col("l_partkey"), round(col("value"), 2).as("value"))
         .orderBy(col("value").desc, col("l_partkey"))
     }),
@@ -646,6 +669,27 @@ object TpchQueries {
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       ops.create("t", o)
       ops.analyze("t")
+    }),
+
+    // --- CREATE/DROP VIEW over a managed table (reference
+    //     create_view_plan_node.h / drop_view_plan_node.h; SURVEY.md
+    //     §2.11): a named stored-SQL view resolved against the table's
+    //     CURRENT version at read time — the insert AFTER the create is
+    //     visible through the view (late binding); a second view is
+    //     created and dropped to exercise the drop path (absence asserted
+    //     in TableOpsSpec along with snapshot non-interference).
+    "q80_view" -> ((s, d) => {
+      val ops = freshTable(s, d, "q80")
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      ops.create("t", o.filter(col("o_orderkey") < 500))
+      ops.createView("big_urgent", "t",
+        "SELECT o_orderkey, round(o_totalprice, 2) AS price FROM t " +
+          "WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 100000.0")
+      ops.insert("t", o.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 900))
+      ops.createView("tmp", "t", "SELECT count(*) AS n FROM t")
+      ops.dropView("tmp")
+      ops.readView("big_urgent").orderBy(col("o_orderkey"))
     }),
 
     // --- runtime Bloom-filter join (reference pushes a bloom filter from
@@ -975,10 +1019,25 @@ object TpchQueries {
     "q76_tpch_q11" ->
       """SELECT l_partkey, round(sum(l_extendedprice), 2) AS value
         |FROM lineitem GROUP BY 1
-        |HAVING sum(l_extendedprice) >
-        |  (SELECT 1.2 * sum(l_extendedprice) / count(DISTINCT l_partkey)
+        |HAVING round(sum(l_extendedprice), 4) >
+        |  (SELECT round(1.2 * sum(l_extendedprice) / count(DISTINCT l_partkey), 4)
         |   FROM lineitem)
         |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q74_right_outer" ->
+      """SELECT c_custkey,
+        |  count(o_orderkey) AS n_urgent,
+        |  count(*)::BIGINT AS n_rows,
+        |  round(sum(coalesce(o_totalprice, 0.0)), 2) AS total_urgent
+        |FROM (SELECT * FROM orders
+        |      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0) o
+        |RIGHT OUTER JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY c_custkey""".stripMargin,
+    "q80_view" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |FROM orders
+        |WHERE o_orderkey < 900
+        |  AND o_orderpriority = '1-URGENT' AND o_totalprice > 100000.0
+        |ORDER BY o_orderkey""".stripMargin,
     "q29_trig" ->
       """SELECT o_orderkey,
         |  round(sin(o_totalprice/100000.0),6) AS sin_x,

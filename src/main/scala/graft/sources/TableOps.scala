@@ -96,14 +96,32 @@ final class TableOps(spark: SparkSession, root: String) {
     Files.createDirectories(claim.getParent)
     try Files.createFile(claim)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
+      // The claim may belong to (a) a writer that already committed, (b) a
+      // LIVE writer between claim and manifest, or (c) a crashed writer.
+      // (b) and (c) are indistinguishable from a single observation, so
+      // re-check with backoff before reporting: a live winner lands its
+      // manifest within the wait, and we must never instruct the operator
+      // to delete a claim a live writer still holds (that would let two
+      // writers claim the same version — a silently lost update).
+      var waitMs = 20L
+      var waited = 0L
+      while (!Files.exists(manifestPath(table, v)) && waited < 1000L) {
+        Thread.sleep(waitMs); waited += waitMs; waitMs *= 2
+      }
       if (Files.exists(manifestPath(table, v)))
         throw new TableOps.ConcurrentCommitException(
           s"table $table: version $v was committed by another writer — " +
             "reread the table and retry the operation")
-      else
+      else {
+        val ageMs = System.currentTimeMillis -
+          Files.getLastModifiedTime(claim).toMillis
         throw new TableOps.ConcurrentCommitException(
-          s"table $table: version $v has an in-doubt claim (a writer " +
-            s"crashed between claim and manifest) — remove $claim to recover")
+          s"table $table: version $v has a claim with no manifest after " +
+            s"${waited} ms of re-checking (claim age ${ageMs} ms) — POSSIBLY " +
+            "an in-flight writer mid-commit. Verify no writer is active " +
+            s"(or that the claim is older than the longest plausible " +
+            s"commit) before removing $claim to recover")
+      }
     }
     writeManifest(table, v, m)
     atomicWrite(currentMarker(table), v.toString.getBytes("UTF-8"))
@@ -284,7 +302,9 @@ final class TableOps(spark: SparkSession, root: String) {
     }).map(_.name).toSet
     val aggs = df.schema.fields.flatMap { f =>
       val c = col(f.name)
-      Seq(sum(c.isNull.cast("long")).as(s"${f.name}__nulls"),
+      // coalesce: sum() over zero rows is NULL — an empty (or all-pruned)
+      // table must yield 0 null-counts, not an unboxing NPE
+      Seq(coalesce(sum(c.isNull.cast("long")), lit(0L)).as(s"${f.name}__nulls"),
         countDistinct(c).as(s"${f.name}__ndv")) ++
         (if (numeric(f.name))
           Seq(min(c).cast("double").as(s"${f.name}__min"),
@@ -331,6 +351,138 @@ final class TableOps(spark: SparkSession, root: String) {
       m.groups.map(g => g.copy(fills = g.fills - name))))
     next
   }
+
+  /** Snapshot expiration — the lifecycle half of the commit model (the
+    * reference GCs version chains in garbage_collector.cpp; Iceberg's
+    * expire_snapshots): drop every version older than the newest
+    * `keepVersions`, delete their manifests / claims / stats, then delete
+    * every data file no KEPT manifest references. Time travel inside the
+    * kept window stays exact (files are refcounted across manifests, so a
+    * file shared with a kept version survives); reads of expired versions
+    * fail with "no manifest". Like vacuum(), must only run while no writer
+    * is active (an in-flight writer's new files are not yet referenced).
+    * Returns (expiredVersions, deletedFiles). */
+  def expire(table: String, keepVersions: Int): (Int, Int) = {
+    require(keepVersions >= 1, "must keep at least the current version")
+    val current = currentVersion(table)
+    require(current >= 0, s"table $table does not exist under $root")
+    val keepFrom = math.max(0L, current - keepVersions + 1)
+    val kept = (keepFrom to current).filter(v => Files.exists(manifestPath(table, v)))
+    val referenced: Set[String] =
+      kept.flatMap(v => readManifest(table, v).groups.flatMap(_.paths)).toSet
+    var expired = 0
+    (0L until keepFrom).foreach { v =>
+      val mp = manifestPath(table, v)
+      if (Files.exists(mp)) { Files.delete(mp); expired += 1 }
+      Files.deleteIfExists(claimPath(table, v))
+      Files.deleteIfExists(Paths.get(root, table, s"stats-v$v.json"))
+    }
+    // delete data files referenced only by expired manifests, then any
+    // data dir left empty (incl. spark _SUCCESS markers)
+    var deleted = 0
+    val dataRoot = Paths.get(root, table, "data")
+    if (Files.exists(dataRoot)) {
+      import scala.jdk.CollectionConverters._
+      Files.list(dataRoot).iterator().asScala.toSeq
+          .filter(Files.isDirectory(_)).foreach { sub =>
+        val rel = s"data/${sub.getFileName}"
+        val files = Files.list(sub).iterator().asScala.toSeq
+        val (keep, drop) = files.partition { f =>
+          referenced.contains(s"$rel/${f.getFileName}")
+        }
+        drop.foreach { f =>
+          if (f.getFileName.toString.endsWith(".parquet")) deleted += 1
+          Files.delete(f)
+        }
+        if (keep.isEmpty) Files.delete(sub)
+      }
+    }
+    (expired, deleted)
+  }
+
+  /** Orphan-file vacuum: delete data files referenced by NO manifest at all
+    * — the uuid dirs left by crashed or OCC-losing writers (acknowledged
+    * harmless for correctness, unbounded for storage). Must only run while
+    * no writer is active (an in-flight writer's files are not yet
+    * referenced — the standard Iceberg remove_orphan_files caveat); the
+    * `minAgeMs` guard (default 0 for tests; hours in production) is the
+    * belt-and-braces filter for that. Returns deleted parquet-file count. */
+  def vacuum(table: String, minAgeMs: Long = 0L): Int = {
+    require(currentVersion(table) >= 0, s"table $table does not exist under $root")
+    import scala.jdk.CollectionConverters._
+    val referenced: Set[String] = Files.list(Paths.get(root, table))
+      .iterator().asScala
+      .filter(_.getFileName.toString.matches("manifest-v\\d+\\.json"))
+      .flatMap { p =>
+        val v = p.getFileName.toString.stripPrefix("manifest-v")
+          .stripSuffix(".json").toLong
+        readManifest(table, v).groups.flatMap(_.paths)
+      }.toSet
+    var deleted = 0
+    val now = System.currentTimeMillis
+    val dataRoot = Paths.get(root, table, "data")
+    if (Files.exists(dataRoot)) {
+      Files.list(dataRoot).iterator().asScala.toSeq
+          .filter(Files.isDirectory(_)).foreach { sub =>
+        val rel = s"data/${sub.getFileName}"
+        val files = Files.list(sub).iterator().asScala.toSeq
+        val anyReferenced =
+          files.exists(f => referenced.contains(s"$rel/${f.getFileName}"))
+        val oldEnough = files.forall(f =>
+          now - Files.getLastModifiedTime(f).toMillis >= minAgeMs)
+        if (!anyReferenced && oldEnough && files.nonEmpty) {
+          files.foreach { f =>
+            if (f.getFileName.toString.endsWith(".parquet")) deleted += 1
+            Files.delete(f)
+          }
+          Files.delete(sub)
+        }
+      }
+    }
+    deleted
+  }
+
+  // --- named views (reference create_view_plan_node.h /
+  // drop_view_plan_node.h, SURVEY.md §2.11): a view is a stored SQL text
+  // over a managed table, resolved against the table's CURRENT version at
+  // read time (so a view automatically sees later inserts — the standard
+  // late-binding view semantics). Stored as Jackson JSON under the root's
+  // _views/ namespace; create/drop never touch table manifests, so
+  // existing snapshots are unaffected by definition.
+
+  private def viewPath(name: String): Path = Paths.get(root, "_views", s"$name.json")
+
+  /** CREATE [OR REPLACE] VIEW name AS <sql>, where <sql> references the
+    * managed table by its table name. */
+  def createView(name: String, table: String, sql: String,
+      replace: Boolean = false): Unit = {
+    require(currentVersion(table) >= 0, s"table $table does not exist under $root")
+    require(replace || !Files.exists(viewPath(name)),
+      s"view $name already exists (use replace = true)")
+    val node = mapper.createObjectNode()
+    node.put("table", table)
+    node.put("sql", sql)
+    atomicWrite(viewPath(name),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+  }
+
+  /** Resolve a view: read the CURRENT table snapshot, register it under the
+    * table name, run the stored SQL. */
+  def readView(name: String): DataFrame = {
+    val p = viewPath(name)
+    require(Files.exists(p), s"view $name does not exist under $root")
+    val n = mapper.readTree(Files.readAllBytes(p))
+    val table = n.get("table").asText()
+    read(table).createOrReplaceTempView(table)
+    spark.sql(n.get("sql").asText())
+  }
+
+  def dropView(name: String): Unit = {
+    require(Files.exists(viewPath(name)), s"view $name does not exist under $root")
+    Files.delete(viewPath(name))
+  }
+
+  def viewExists(name: String): Boolean = Files.exists(viewPath(name))
 }
 
 object TableOps {

@@ -109,6 +109,49 @@ class IndexSpec extends AnyFunSuite {
     assert(bad == 0L)
   }
 
+  test("packRuns=false (raw-row shuffle) builds a bit-identical index") {
+    // the per-deployment toggle: packed runs for network-shuffle clusters,
+    // raw rows for local-disk layouts — SAME blocks either way
+    val dirOff = TestSpark.tmpDir("graft-index-nopack")
+    val cfgOff = cfg(dirOff).copy(packRuns = false)
+    IndexBuilder.build(spark, corpusDS, cfgOff)
+    def blocksOf(dir: String) = spark.read.parquet(cfg(dir).postingsPath)
+      .select($"termId", $"shard", $"blockIdx", $"count", $"sumTf",
+        $"maxTfNorm", $"firstDocId", $"lastDocId", md5($"bytes").as("b"))
+    val on = blocksOf(indexDir)
+    val off = blocksOf(dirOff)
+    assert(on.count() == off.count())
+    assert(on.except(off).isEmpty && off.except(on).isEmpty,
+      "packed and raw-row builds emitted different blocks")
+    // and identical ranked results through the full serving path
+    val sOff = new Searcher(spark, cfgOff)
+    refQueries.take(6).foreach { q =>
+      val a = searcher.searchWAND(q, 10).toSeq.map(sd => (sd.docId, sd.score))
+      val b = sOff.searchWAND(q, 10).toSeq.map(sd => (sd.docId, sd.score))
+      assert(a == b, s"pack on/off rank divergence for '$q'")
+    }
+  }
+
+  test("salting bounds every reduce group's size (the numShards sizing rule)") {
+    // a reduce group in the postings shuffle is one (termId, salt); for a
+    // salted heavy term salt == docId shard, so per-(termId, shard) posting
+    // counts measure exactly the per-group memory the sizing rule at
+    // IndexConfig.numShards bounds: ~df/numShards postings (x ~5 packed
+    // bytes). Docs are uniform over the id space here, so allow 2x slack.
+    val nShards = cfg(indexDir).numShards
+    val lex = spark.read.parquet(cfg(indexDir).lexiconPath)
+      .select($"termId", $"df")
+    val heavy = lex.filter($"df" > cfg(indexDir).heavyDfThreshold)
+    assert(heavy.count() > 0, "test corpus must have salted heavy terms")
+    val worst = spark.read.parquet(cfg(indexDir).postingsPath)
+      .groupBy($"termId", $"shard").agg(sum($"count").as("groupPostings"))
+      .join(heavy, "termId")
+      .select(($"groupPostings" / ($"df" / nShards)).as("ratio"))
+      .agg(max($"ratio")).as[Double].head()
+    assert(worst <= 2.0,
+      f"a heavy term's reduce group holds $worst%.2fx df/numShards — salting failed")
+  }
+
   test("lexicon df/cf match the oracle's corpus statistics") {
     val lexDf = spark.read.parquet(cfg(indexDir).lexiconPath)
       .select($"term", $"df").as[(String, Long)].collect().toMap

@@ -126,6 +126,60 @@ class PipelineSpec extends AnyFunSuite {
       s"cap would fire at test scale (max bucket $maxBucket) — oracle invalid")
   }
 
+  test("connected components == local union-find; O(log n) rounds on a worst-case path") {
+    import graft.pipeline.ConnectedComponents
+    // deterministic random graph, several components + isolated-in-edges
+    val rnd = new scala.util.Random(7)
+    val n = 200
+    val edges = Seq.fill(260)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2)
+    val (labels, rounds) = ConnectedComponents.run(spark, edges.toDF("a", "b"))
+    // local union-find oracle
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val inGraph = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val expected = inGraph.map(x => x -> find(x.toInt).toLong).toMap
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got == expected, "component labels differ from union-find")
+    val logBound = 2 * (math.log(n.toDouble) / math.log(2)).ceil.toInt + 2
+    assert(rounds <= logBound, s"random graph took $rounds rounds (> $logBound)")
+
+    // worst case for naive min-propagation (O(diameter) = O(n) there): a
+    // 128-node path must still converge in O(log n) alternating rounds
+    val path = (0L until 127L).map(i => (i, i + 1))
+    val (plabels, prounds) = ConnectedComponents.run(spark, path.toDF("a", "b"))
+    assert(plabels.as[(Long, Long)].collect().forall(_._2 == 0L))
+    assert(prounds <= 2 * 7 + 2, s"path graph took $prounds rounds")
+  }
+
+  test("q79: components are consistent with the q35 pair graph (keep/drop closure)") {
+    val labels = TextPipeline.queries("q79_dedup_components")(spark, sf)
+      .as[(Long, Long, Boolean)].collect()
+    val byDoc = labels.map(r => r._1 -> r._2).toMap
+    val pairs = TextPipeline.queries("q35_minhash_pairs")(spark, sf)
+      .as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "q35 must produce pairs at sf0.001")
+    // every near-dup pair ends up in one component
+    pairs.foreach { case (a, b) =>
+      assert(byDoc(a) == byDoc(b), s"pair ($a,$b) split across components")
+    }
+    // exactly one canonical per component, and it is the component min
+    labels.groupBy(_._2).foreach { case (comp, members) =>
+      assert(members.count(_._3) == 1, s"component $comp canonical count != 1")
+      assert(members.filter(_._3).head._1 == comp &&
+        members.map(_._1).min == comp)
+    }
+    // sampled singletons keep themselves
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    labels.filter(l => !paired.contains(l._1)).foreach { l =>
+      assert(l._2 == l._1 && l._3)
+    }
+  }
+
   test("minhash jaccard estimate correlates with true jaccard") {
     // two near-identical docs share most minhashes; disjoint docs share none
     def sig(terms: Seq[String]): Seq[Long] = {

@@ -67,8 +67,12 @@ class QueryPlanSpec extends AnyFunSuite {
       s"dims not broadcast in:\n$p")
   }
 
-  test("q72/q73: outer joins plan as hash/SMJ equi-joins, never nested-loop") {
-    Seq("q72_left_outer" -> "LeftOuter", "q73_full_outer" -> "FullOuter")
+  test("q72/q73/q74: outer joins plan as hash/SMJ equi-joins, never nested-loop") {
+    // q74's RightOuter may legitimately surface as a side-swapped LeftOuter
+    // in the physical plan (Spark's build-side choice) — either is the
+    // hash/SMJ outer join we demand
+    Seq("q72_left_outer" -> "LeftOuter", "q73_full_outer" -> "FullOuter",
+      "q74_right_outer" -> "Outer")
       .foreach { case (name, joinType) =>
         val p = plan(name)
         assert(p.contains(joinType), s"$name missing $joinType join:\n$p")

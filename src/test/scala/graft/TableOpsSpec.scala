@@ -180,6 +180,88 @@ class TableOpsSpec extends AnyFunSuite {
     assert(ops.read("t").count() == 3)
   }
 
+  test("expire drops old versions + their files; the kept window stays exact") {
+    val root = TestSpark.tmpDir("graft-tables-expire")
+    val ops = new TableOps(spark, root)
+    // v0: one file; v1: +insert file; v2: update rewrites v0's file
+    // (so after expiring v0/v1, the ORIGINAL v0 file is unreferenced while
+    // v1's insert file is still shared by kept manifests — refcounting)
+    ops.create("t", (1L to 100L).toDF("id").withColumn("v", lit(1.0)).coalesce(1))
+    ops.insert("t", (1000L to 1049L).toDF("id").withColumn("v", lit(1.0)).coalesce(1))
+    ops.update("t", $"id" <= 10L, "v", lit(2.0))
+    val v3 = ops.insert("t", Seq((5000L, 3.0)).toDF("id", "v"))
+    assert(v3 == 3)
+    val before = dataFiles(root, "t")
+
+    val (expired, deleted) = ops.expire("t", 2) // keep v2, v3
+    assert(expired == 2, s"expected 2 expired manifests, got $expired")
+    assert(deleted >= 1, "the superseded v0 file should have been deleted")
+    // expired versions unreadable; kept window exact (incl. time travel)
+    intercept[IllegalArgumentException] { ops.readVersion("t", 0) }
+    intercept[IllegalArgumentException] { ops.readVersion("t", 1) }
+    assert(ops.readVersion("t", 2).count() == 150)
+    assert(ops.read("t").count() == 151)
+    assert(ops.read("t").filter($"v" === 2.0).count() == 10)
+    assert(dataFiles(root, "t").subsetOf(before))
+    // further commits work after expiration
+    ops.insert("t", Seq((6000L, 4.0)).toDF("id", "v"))
+    assert(ops.currentVersion("t") == 4 && ops.read("t").count() == 152)
+  }
+
+  test("vacuum removes orphaned writer dirs, never referenced files") {
+    val root = TestSpark.tmpDir("graft-tables-vacuum")
+    val ops = new TableOps(spark, root)
+    ops.create("t", Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
+    val referenced = dataFiles(root, "t")
+    // fabricate the debris of a crashed / OCC-losing writer: a uuid data
+    // dir whose files no manifest references
+    val orphan = java.nio.file.Paths.get(root, "t", "data", "v9-deadbeef")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("part-00000.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(ops.vacuum("t") == 1)
+    assert(!java.nio.file.Files.exists(orphan))
+    assert(dataFiles(root, "t") == referenced, "vacuum touched live files")
+    assert(ops.read("t").count() == 2)
+    // idempotent
+    assert(ops.vacuum("t") == 0)
+  }
+
+  test("views: late-binding over the managed table; drop + replace semantics") {
+    val root = TestSpark.tmpDir("graft-tables-views")
+    val ops = new TableOps(spark, root)
+    ops.create("t", Seq((1L, 10.0), (2L, 200.0)).toDF("id", "v"))
+    ops.createView("big", "t", "SELECT id FROM t WHERE v > 100.0")
+    assert(ops.readView("big").as[Long].collect().toSeq == Seq(2L))
+    // late binding: the view sees rows inserted AFTER its creation
+    ops.insert("t", Seq((3L, 300.0)).toDF("id", "v"))
+    assert(ops.readView("big").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    // view DDL never touches table manifests / snapshots
+    assert(ops.currentVersion("t") == 1)
+    assert(ops.readVersion("t", 0).count() == 2)
+    // create-without-replace collides; replace succeeds
+    intercept[IllegalArgumentException] {
+      ops.createView("big", "t", "SELECT id FROM t")
+    }
+    ops.createView("big", "t", "SELECT id FROM t WHERE v > 250.0", replace = true)
+    assert(ops.readView("big").as[Long].collect().toSeq == Seq(3L))
+    ops.dropView("big")
+    assert(!ops.viewExists("big"))
+    intercept[IllegalArgumentException] { ops.readView("big") }
+  }
+
+  test("analyze on an empty table yields zero counts, not an NPE") {
+    val root = TestSpark.tmpDir("graft-tables-emptystats")
+    val ops = new TableOps(spark, root)
+    ops.create("t", spark.emptyDataset[(Long, Double)].toDF("id", "v")
+      .repartition(1))
+    val stats = ops.analyze("t").collect()
+    assert(stats.length == 2)
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n_nulls") == 0L && r.getAs[Long]("ndv") == 0L)
+    }
+  }
+
   test("manifest JSON survives quotes/backslashes in defaults (no string interpolation)") {
     val root = TestSpark.tmpDir("graft-tables-json")
     val ops = new TableOps(spark, root)
