@@ -91,6 +91,64 @@ object StreamingOps {
     spark.table(name)
   }
 
+  /** Stream-stream event-time interval join (the remaining §2.9 operator
+    * class): purchases attributed to a SAME-USER click within the previous
+    * 6 hours. Both sides carry watermarks so the join state is bounded —
+    * Spark retains click rows only until their join window falls behind
+    * the watermark, the property that lets this run forever at cluster
+    * scale. INNER stream-stream joins emit each match as soon as both rows
+    * have arrived (the watermark bounds state, not emission), so over a
+    * finite input the append-mode output equals the batch join exactly —
+    * which is what gives q81 its SQL oracle. */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("user_id").as("cu"), col("ts").cast("timestamp").as("cts"))
+      .withWatermark("cts", "12 hours")
+    val p = purchases.select(col("event_id").as("purchase_id"),
+        col("user_id").as("pu"), col("ts").cast("timestamp").as("pts"),
+        col("value"))
+      .withWatermark("pts", "12 hours")
+    c.join(p,
+      expr("cu = pu AND pts >= cts AND pts <= cts + interval 6 hours"))
+      .select(col("click_id"), col("purchase_id"), col("cu").as("user_id"),
+        col("value"))
+  }
+
+  /** Batch twin of clickAttribution (for the StreamingSpec equivalence pin). */
+  def clickAttributionBatch(events: DataFrame): DataFrame = {
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+        col("ts").cast("timestamp").as("cts"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+        col("ts").cast("timestamp").as("pts"), col("value"))
+    c.join(p,
+      expr("cu = pu AND pts >= cts AND pts <= cts + interval 6 hours"))
+      .select(col("click_id"), col("purchase_id"), col("cu").as("user_id"),
+        col("value"))
+  }
+
+  /** Drive the stream-stream join over a finite staged table (two file
+    * streams off the same landing dir) into a memory sink. */
+  def runJoinToMemory(spark: SparkSession, dir: String, name: String)
+      : DataFrame = {
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val staged = java.nio.file.Files
+      .createTempDirectory(s"graft-stream-$name").toString
+    batch.write.mode("overwrite").parquet(s"$staged/in")
+    def src = spark.readStream.schema(batch.schema).parquet(s"$staged/in")
+    val joined = clickAttribution(
+      src.filter(col("event_type") === "click"),
+      src.filter(col("event_type") === "purchase"))
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   /** Driver-contract entry: the streaming windowed aggregation over the
@@ -109,6 +167,14 @@ object StreamingOps {
     //     total_value is intentionally not emitted: the stateful fold sums
     //     doubles in event order while SQL sums in scan order, so only the
     //     order-insensitive columns are cross-engine exact.
+    // --- stream-stream interval join (click→purchase attribution); value
+    //     is the STORED double (no arithmetic), so the oracle match is
+    //     bit-exact; (click_id, purchase_id) is a unique total order.
+    "q81_stream_join" -> ((s, d) => {
+      runJoinToMemory(s, d, s"q81_${math.abs(d.hashCode)}")
+        .orderBy(col("click_id"), col("purchase_id"))
+    }),
+
     "q68_sessionize" -> ((s, d) => {
       import s.implicits._
       val events = s.read.parquet(s"$d/events.parquet")
@@ -128,6 +194,13 @@ object StreamingOps {
       """SELECT date_trunc('hour', ts) AS hr, event_type,
         |  count(*) AS n, round(sum(value),2) AS total
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q81_stream_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+        |  a.user_id, b.value
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "q68_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts,

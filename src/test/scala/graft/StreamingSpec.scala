@@ -52,6 +52,21 @@ class StreamingSpec extends AnyFunSuite {
         s"extra=${(streamed -- expected).take(3)}")
   }
 
+  test("stream-stream interval join == batch join, exactly (inner join emits eagerly)") {
+    val streamed = StreamingOps.runJoinToMemory(spark, sf, "stream_join_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val batch = StreamingOps.clickAttributionBatch(
+      spark.read.parquet(s"$sf/events.parquet"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(batch.nonEmpty, "batch twin empty — test proves nothing")
+    // INNER stream-stream joins emit every match as soon as both rows have
+    // arrived (the watermark bounds STATE, not emission), so the finite
+    // input must yield the complete batch answer — no withheld tail
+    assert(streamed == batch)
+  }
+
   test("sessionize emits deterministic gap-based sessions matching a plain fold") {
     val events = spark.read.parquet(s"$sf/events.parquet").as[Event]
     val got = StreamingOps.sessionize(events).collect()
