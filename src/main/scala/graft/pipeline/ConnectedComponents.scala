@@ -75,19 +75,25 @@ object ConnectedComponents {
         .filter(col("u") =!= col("v")).distinct()
         .localCheckpoint(true)
       rounds += 1
-      // fixpoint: the edge SET is unchanged (distributed symmetric
-      // difference via two anti-joins — no driver materialization)
-      done = next.join(cur, Seq("u", "v"), "left_anti").isEmpty &&
-        cur.join(next, Seq("u", "v"), "left_anti").isEmpty
+      // fixpoint: the edge SET is unchanged — ONE distributed symmetric-
+      // difference action (both sides are distinct, so a pair present in
+      // both rounds counts 2, a changed pair counts 1); no driver
+      // materialization
+      done = cur.union(next).groupBy(col("u"), col("v"))
+        .count().filter(col("count") === 1).isEmpty
       cur.unpersist()
       cur = next
     }
     // at the fixpoint the graph is a star forest centered on component
     // minima: every non-center's component is its (unique) smaller
-    // neighbor; centers label themselves
+    // neighbor; centers label themselves. Materialize the labels so the
+    // final round's checkpoint blocks can be released (a bare lazy result
+    // would pin them for the caller's lifetime).
     val labels = cur.select(col("u").as("node"), col("v").as("component"))
       .union(cur.select(col("v").as("node"), col("v").as("component")))
       .groupBy(col("node")).agg(min(col("component")).as("component"))
+      .localCheckpoint(true)
+    cur.unpersist()
     (labels, rounds)
   }
 }

@@ -281,10 +281,46 @@ object Similarity {
           round(cosineSim($"va", $"vb"), 4).as("cos"))
         .filter($"cos" >= embDedupThreshold)
         .orderBy($"a", $"b")
+    }),
+
+    // --- canonicalization over the EMBEDDING near-dup graph: the same
+    //     distributed connected components that close the text-dedup family
+    //     (q79) reused over q42's exact pair set — and because q42's pairs
+    //     ARE SQL-expressible, this CC entry carries a FULL recursive-CTE
+    //     oracle (unlike q79's minhash upstream, nothing here is
+    //     approximate). (vec_id, component, is_canonical) per sampled
+    //     vector; keep = the component minimum.
+    "q82_embedding_components" -> ((s, d) => {
+      val pairs = extraQueries("q42_embedding_dedup")(s, d)
+        .select(col("a"), col("b"))
+      val (labels, _) = ConnectedComponents.run(s, pairs)
+      val nodes = emb(s, d).filter(col("vec_id") % 4 === 0).select(col("vec_id"))
+      nodes.join(labels, nodes("vec_id") === labels("node"), "left_outer")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("component"),
+          (coalesce(col("component"), col("vec_id")) === col("vec_id"))
+            .as("is_canonical"))
+        .orderBy(col("vec_id"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q82_embedding_components" ->
+      s"""WITH RECURSIVE emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings WHERE vec_id % 4 = 0),
+         |pairs AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b
+         |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+         |  WHERE round(list_dot_product(a.v, b.v) /
+         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= $embDedupThreshold),
+         |edges AS (SELECT a AS u, b AS w FROM pairs UNION SELECT b AS u, a AS w FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT vec_id, vec_id FROM emb
+         |  UNION
+         |  SELECT e.w, r.lab FROM reach r JOIN edges e ON e.u = r.node)
+         |SELECT node AS vec_id, min(lab)::BIGINT AS component,
+         |  (node = min(lab)) AS is_canonical
+         |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin,
     "q42_embedding_dedup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |           FROM embeddings WHERE vec_id % 4 = 0)

@@ -692,6 +692,27 @@ object TpchQueries {
       ops.readView("big_urgent").orderBy(col("o_orderkey"))
     }),
 
+    // --- snapshot expiration + orphan vacuum (reference
+    //     garbage_collector.cpp GCs version chains; Iceberg
+    //     expire_snapshots / remove_orphan_files): after create → insert →
+    //     update, expire(keep 2) drops the v0/v1 manifests and the data
+    //     files only they referenced, vacuum sweeps orphaned writer dirs —
+    //     and the CURRENT state is byte-for-byte unaffected, which is
+    //     exactly what the oracle checks (file-level deletion details are
+    //     pinned in TableOpsSpec).
+    "q83_expire" -> ((s, d) => {
+      val ops = freshTable(s, d, "q83")
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      ops.create("t", o.filter(col("o_orderkey") < 400))
+      ops.insert("t", o.filter(col("o_orderkey") >= 400 && col("o_orderkey") < 800))
+      // *2 is exact in IEEE754, so raw doubles stay bit-identical cross-engine
+      ops.update("t", col("o_orderkey") < 100, "o_totalprice",
+        col("o_totalprice") * 2)
+      ops.expire("t", 2)
+      ops.vacuum("t")
+      ops.read("t").orderBy(col("o_orderkey"))
+    }),
+
     // --- runtime Bloom-filter join (reference pushes a bloom filter from
     //     the hash-join build side, execution/sql/join_hash_table.h /
     //     bloom_filter.cpp): Spark's runtime bloom filter injects a
@@ -1032,6 +1053,12 @@ object TpchQueries {
         |      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0) o
         |RIGHT OUTER JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY c_custkey""".stripMargin,
+    "q83_expire" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey < 100 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderkey < 800
+        |ORDER BY o_orderkey""".stripMargin,
     "q80_view" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price
         |FROM orders

@@ -68,6 +68,14 @@ final class TableOps(spark: SparkSession, root: String) {
     v
   }
 
+  /** Files.list with the stream closed (a bare .iterator leaks the
+    * directory handle for the life of the process). */
+  private def listDir(dir: Path): Seq[Path] = {
+    val st = Files.list(dir)
+    try { import scala.jdk.CollectionConverters._; st.iterator().asScala.toSeq }
+    finally st.close()
+  }
+
   private def atomicWrite(target: Path, bytes: Array[Byte]): Unit = {
     Files.createDirectories(target.getParent)
     val tmp = target.resolveSibling(s".${target.getFileName}.tmp")
@@ -382,11 +390,9 @@ final class TableOps(spark: SparkSession, root: String) {
     var deleted = 0
     val dataRoot = Paths.get(root, table, "data")
     if (Files.exists(dataRoot)) {
-      import scala.jdk.CollectionConverters._
-      Files.list(dataRoot).iterator().asScala.toSeq
-          .filter(Files.isDirectory(_)).foreach { sub =>
+      listDir(dataRoot).filter(Files.isDirectory(_)).foreach { sub =>
         val rel = s"data/${sub.getFileName}"
-        val files = Files.list(sub).iterator().asScala.toSeq
+        val files = listDir(sub)
         val (keep, drop) = files.partition { f =>
           referenced.contains(s"$rel/${f.getFileName}")
         }
@@ -409,9 +415,7 @@ final class TableOps(spark: SparkSession, root: String) {
     * belt-and-braces filter for that. Returns deleted parquet-file count. */
   def vacuum(table: String, minAgeMs: Long = 0L): Int = {
     require(currentVersion(table) >= 0, s"table $table does not exist under $root")
-    import scala.jdk.CollectionConverters._
-    val referenced: Set[String] = Files.list(Paths.get(root, table))
-      .iterator().asScala
+    val referenced: Set[String] = listDir(Paths.get(root, table))
       .filter(_.getFileName.toString.matches("manifest-v\\d+\\.json"))
       .flatMap { p =>
         val v = p.getFileName.toString.stripPrefix("manifest-v")
@@ -422,10 +426,9 @@ final class TableOps(spark: SparkSession, root: String) {
     val now = System.currentTimeMillis
     val dataRoot = Paths.get(root, table, "data")
     if (Files.exists(dataRoot)) {
-      Files.list(dataRoot).iterator().asScala.toSeq
-          .filter(Files.isDirectory(_)).foreach { sub =>
+      listDir(dataRoot).filter(Files.isDirectory(_)).foreach { sub =>
         val rel = s"data/${sub.getFileName}"
-        val files = Files.list(sub).iterator().asScala.toSeq
+        val files = listDir(sub)
         val anyReferenced =
           files.exists(f => referenced.contains(s"$rel/${f.getFileName}"))
         val oldEnough = files.forall(f =>
