@@ -333,6 +333,26 @@ object TpchQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // --- JSON external-file roundtrip (ExternalFileGet family, a second
+    //     sink/source format beside q28's CSV): export a projection as
+    //     line-delimited JSON, read it back with an explicit schema,
+    //     aggregate — pinning the export encodes and the reader decodes
+    //     values losslessly (Double text round-trip included).
+    "q84_json_roundtrip" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"))
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-json-" +
+        d.replaceAll("[^a-zA-Z0-9]", "_")
+      li.write.mode("overwrite").json(dir)
+      s.read
+        .schema("l_orderkey LONG, l_linenumber INT, l_quantity DOUBLE, l_returnflag STRING")
+        .json(dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // --- trigonometric / transcendental functions (builtins.h:146-153)
     "q29_trig" -> ((s, d) => {
       t(s, d, "orders").filter(col("o_orderkey") < 50)
@@ -905,6 +925,11 @@ object TpchQueries {
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice),2) AS total
         |FROM orders WHERE o_orderkey < 500
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q84_json_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity),2) AS qty
+        |FROM lineitem WHERE l_orderkey < 300
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q55_insert" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
