@@ -137,7 +137,19 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","gb_per_hour":$gbPerHour%.3f,"index_build_60k_sec":$tBig%.2f,"bm25_p50_ms":$p50%.2f,"bm25_p95_ms":$p95%.2f,"bm25_p50_ms_distributed":$p50Dist%.2f,"corpus_bytes":$corpusBytes,"big_corpus_bytes":$bigBytes,"cpus":$cpus}"""
+
+    // round-4+ operators measured per-round as SEPARATE keys — not in the
+    // headline total, which stays comparable with earlier rounds' records
+    val newOps = Seq("q79_dedup_components", "q81_stream_join",
+      "q82_embedding_components", "q84_json_roundtrip")
+    val extras = newOps.map { name =>
+      val fn = SparkEntry.queries(name)
+      name -> (1 to 2).map(_ => secs { fn(spark, sfDir).count() }).min
+    }
+    val extrasJson = extras.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
+      .mkString("{", ",", "}")
+
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"new_ops":$extrasJson,"sf":"$sfDir","gb_per_hour":$gbPerHour%.3f,"index_build_60k_sec":$tBig%.2f,"bm25_p50_ms":$p50%.2f,"bm25_p95_ms":$p95%.2f,"bm25_p50_ms_distributed":$p50Dist%.2f,"corpus_bytes":$corpusBytes,"big_corpus_bytes":$bigBytes,"cpus":$cpus}"""
     println(json)
     // also write the line to a file: the stdout line lands inside sbt [info]
     // noise, so machine consumers (BENCH_r{N}.json "parsed") read this copy

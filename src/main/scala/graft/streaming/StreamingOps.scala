@@ -151,6 +151,8 @@ object StreamingOps {
 
   type Q = (SparkSession, String) => DataFrame
 
+  private val runCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Driver-contract entry: the streaming windowed aggregation over the
     * events table (stateful incremental agg through a memory sink), pinned
     * to the same SQL oracle as its batch twin. */
@@ -169,9 +171,12 @@ object StreamingOps {
     //     order-insensitive columns are cross-engine exact.
     // --- stream-stream interval join (click→purchase attribution); value
     //     is the STORED double (no arithmetic), so the oracle match is
-    //     bit-exact; (click_id, purchase_id) is a unique total order.
+    //     bit-exact; (click_id, purchase_id) is a unique total order. The
+    //     sink name is unique per CALL (a stopped query's name cannot be
+    //     reused for a new memory sink in the same session).
     "q81_stream_join" -> ((s, d) => {
-      runJoinToMemory(s, d, s"q81_${math.abs(d.hashCode)}")
+      runJoinToMemory(s, d,
+        s"q81_${math.abs(d.hashCode)}_${runCounter.incrementAndGet()}")
         .orderBy(col("click_id"), col("purchase_id"))
     }),
 
