@@ -51,8 +51,7 @@ object Bench {
           org.apache.spark.sql.functions.col("content"))))
       .head().getLong(0)
     val idxDir = java.nio.file.Files.createTempDirectory("graft-bench-idx").toString
-    val cfg = IndexConfig(indexDir = idxDir,
-      numShards = IndexConfig.autoShards(spark),
+    val cfg = IndexConfig(indexDir = idxDir, numShards = 32,
       heavyDfThreshold = 1000, buildPartitions = cpus.toInt)
     val tBuild = secs { IndexBuilder.build(spark, corpus, cfg, "bench") }
 
@@ -76,8 +75,10 @@ object Bench {
     // whipsawing the recorded GB/h); each rep builds into a fresh dir
     val bigBuilds = (1 to 2).map { _ =>
       val bigDir = java.nio.file.Files.createTempDirectory("graft-bench-big").toString
-      val c = IndexConfig(indexDir = bigDir,
-        numShards = IndexConfig.autoShards(spark),
+      // numShards pinned to the recorded-rounds layout (autoShards == 32 on
+      // a <=32-core box): a larger box must not silently change the shard
+      // count and break round-over-round comparability (ADVICE r4)
+      val c = IndexConfig(indexDir = bigDir, numShards = 32,
         heavyDfThreshold = 5000, buildPartitions = cpus.toInt)
       (secs { IndexBuilder.build(spark, bigCorpus, c, "bench60k") }, c)
     }
@@ -141,7 +142,9 @@ object Bench {
     // round-4+ operators measured per-round as SEPARATE keys — not in the
     // headline total, which stays comparable with earlier rounds' records
     val newOps = Seq("q79_dedup_components", "q81_stream_join",
-      "q82_embedding_components", "q84_json_roundtrip")
+      "q82_embedding_components", "q84_json_roundtrip",
+      "q85_transaction", "q86_merge_upsert", "q87_stream_dedup",
+      "q88_compact")
     val extras = newOps.map { name =>
       val fn = SparkEntry.queries(name)
       name -> (1 to 2).map(_ => secs { fn(spark, sfDir).count() }).min

@@ -26,7 +26,8 @@ object ScalingBench {
       stageMs: Map[String, Long],
       topk: Seq[Seq[(Long, Double)]])
 
-  def runAt(cores: Int, numFiles: Long, corpusPath: String): RunResult = {
+  def runAt(cores: Int, numFiles: Long, corpusPath: String,
+      numShards: Int): RunResult = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
@@ -55,11 +56,11 @@ object ScalingBench {
             org.apache.spark.sql.functions.col("content"))))
         .head().getLong(0)
       val dir = java.nio.file.Files.createTempDirectory(s"graft-scale$cores").toString
-      // autoShards == 32 at every parallelism level on this box (the
-      // single-box floor), so shard layout — and therefore results — are
-      // identical across the N/4N legs
-      val cfg = IndexConfig(indexDir = dir,
-        numShards = IndexConfig.autoShards(spark),
+      // numShards is PINNED by the caller (computed once from the larger
+      // leg), not per-session autoShards: on a >32-core box the two legs'
+      // defaultParallelism would otherwise derive different shard counts
+      // and silently invalidate the scaling comparison (ADVICE r4)
+      val cfg = IndexConfig(indexDir = dir, numShards = numShards,
         heavyDfThreshold = 5000, buildPartitions = cores)
       val t0 = System.nanoTime()
       IndexBuilder.build(spark, corpus, cfg, s"scaling-$numFiles")
@@ -82,11 +83,17 @@ object ScalingBench {
     val corpusPath =
       s"${System.getProperty("java.io.tmpdir")}/graft-scale-corpus-$numFiles"
 
+    // ONE shard layout for both legs, derived from the larger leg (the
+    // same formula autoShards applies to a session with hiCores cores):
+    // identical shards ⇒ identical work and bit-identical results, the
+    // precondition for the N vs 4N comparison to measure parallelism only
+    val numShards = math.max(32, hiCores)
+
     // best-of-2 per level: this sandbox VM shows ±2× run-to-run noise on
     // identical jobs; min-of-k is the standard estimator under such noise
     def bestOf(cores: Int): RunResult = {
-      val a = runAt(cores, numFiles, corpusPath)
-      val b = runAt(cores, numFiles, corpusPath)
+      val a = runAt(cores, numFiles, corpusPath, numShards)
+      val b = runAt(cores, numFiles, corpusPath, numShards)
       if (a.secs <= b.secs) a else b
     }
     val r8run = bestOf(loCores)

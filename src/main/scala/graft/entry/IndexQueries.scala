@@ -38,40 +38,56 @@ object IndexQueries {
   }
 
   /** Per-process index cache: one build per sfDir under java.io.tmpdir.
-    * The build fingerprint includes a CONTENT fingerprint (sizes + mtimes of
-    * the source parquet files), so an index persisted by a previous JVM run
-    * OR rebuilt data at the same path in-process is invalidated — not
-    * silently reused (ADVICE r3: the old dir-only key served stale state
-    * after in-process regeneration). */
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, IndexConfig]()
+    * Keyed by DIR, holding (fingerprint, value): the content fingerprint
+    * (sizes + mtimes of the source parquet) detects a rebuilt dataset OR an
+    * index persisted by a previous JVM run, and the superseded entry is
+    * DROPPED, not accumulated (ADVICE r4: the old fingerprint-composed key
+    * leaked one entry per regeneration and — for searchers — a whole
+    * localServe postings/norms state with it). */
+  private case class CachedIndex(key: String, cfg: IndexConfig)
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, CachedIndex]()
 
   private def contentFingerprint(dir: String): String =
     graft.sources.ContentFingerprint.of(s"$dir/documents.parquet")
 
-  def indexFor(s: SparkSession, dir: String): IndexConfig =
-    cache.computeIfAbsent(s"$dir@${contentFingerprint(dir)}", key => {
+  def indexFor(s: SparkSession, dir: String): IndexConfig = cache.synchronized {
+    val key = s"$dir@${contentFingerprint(dir)}"
+    val existing = cache.get(dir)
+    if (existing != null && existing.key == key) existing.cfg
+    else {
       val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_idx$safe"
       val cfg = IndexConfig(indexDir = idxDir, numShards = 8,
         heavyDfThreshold = 1000)
       IndexBuilder.build(s, corpusFromDocuments(s, dir), cfg, fingerprint = key)
+      cache.put(dir, CachedIndex(key, cfg))
       cfg
-    })
+    }
+  }
 
-  /** Searcher cached per (session, dir, content fingerprint): the
-    * Searcher's lazy serving state (localServe postings cache, norms,
-    * lexicon) is collected once per process instead of once per query, but
-    * a changed dataset or a replaced SparkSession gets a FRESH Searcher —
-    * the fingerprint+session key is the invalidation hook (ADVICE r3: a
-    * dir-only key pinned the first session and served stale BM25 after an
-    * in-process index change). */
+  /** Searcher cached per dir with a (session identity, content fingerprint)
+    * validity key: the Searcher's lazy serving state (localServe postings,
+    * norms, lexicon) is collected once per process instead of once per
+    * query, but a changed dataset or a replaced SparkSession gets a FRESH
+    * Searcher — and the stale one is close()d, releasing its persisted
+    * blocks and broadcasts (the Similarity.cachedAssign discipline). */
+  private case class CachedSearcher(key: String, searcher: Searcher)
   private val searcherCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Searcher]()
+    new java.util.concurrent.ConcurrentHashMap[String, CachedSearcher]()
 
   def searcherFor(s: SparkSession, dir: String): Searcher =
-    searcherCache.computeIfAbsent(
-      s"${System.identityHashCode(s)}:$dir@${contentFingerprint(dir)}",
-      _ => new Searcher(s, indexFor(s, dir)))
+    searcherCache.synchronized {
+      val key = s"${System.identityHashCode(s)}:${contentFingerprint(dir)}"
+      val existing = searcherCache.get(dir)
+      if (existing != null && existing.key == key) existing.searcher
+      else {
+        if (existing != null) existing.searcher.close()
+        val searcher = new Searcher(s, indexFor(s, dir))
+        searcherCache.put(dir, CachedSearcher(key, searcher))
+        searcher
+      }
+    }
 
   /** BM25 over the documents table through the whole index pipeline,
     * mapped back to doc_id.

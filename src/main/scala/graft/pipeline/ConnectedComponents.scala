@@ -31,21 +31,33 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** @param edges  (a, b) pair rows, any orientation, self-loops ignored
+    * @param checkpointDir  None (default) = per-round localCheckpoint:
+    *        fastest, right for local mode, but blocks live on executors
+    *        WITHOUT fault tolerance — on a real cluster, losing one
+    *        executor mid-iteration kills the job unrecoverably (truncated
+    *        lineage cannot recompute). Some(dir) = reliable checkpoints to
+    *        durable storage (HDFS/S3 path on a cluster): each round
+    *        survives executor loss at the cost of a write per round — the
+    *        setting a 1000-executor run wants.
     * @return (labels, rounds): labels = (node, component) with component =
     *         the minimum node id reachable from `node`; every node that
     *         appears in an edge gets a row. `rounds` = alternating
     *         large+small-star rounds until fixpoint.
     */
-  def run(s: SparkSession, edges: DataFrame): (DataFrame, Int) = {
-    // localCheckpoint (not a bare persist): iterative plans otherwise grow
+  def run(s: SparkSession, edges: DataFrame,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    // checkpoint (not a bare persist): iterative plans otherwise grow
     // multiplicatively — each round's lineage embeds the previous round's
     // several times over, and by ~8 rounds the plan tree alone OOMs the
     // driver. Checkpointing materializes the round AND truncates lineage,
     // the standard discipline for iterative graph algorithms on Spark.
+    checkpointDir.foreach(s.sparkContext.setCheckpointDir)
+    def chk(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
     // canonical undirected representation: (u, v) with u > v
-    var cur = edges.select(
+    var cur = chk(edges.select(
         greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+      .filter(col("u") =!= col("v")).distinct())
     var rounds = 0
     var done = cur.isEmpty // an edgeless graph is already converged
     while (!done) {
@@ -73,26 +85,25 @@ object ConnectedComponents {
         .select(greatest(col("e.a"), col("e.b")).as("u"),
           least(col("e.a"), col("e.b")).as("v"))
         .filter(col("u") =!= col("v")).distinct()
-        .localCheckpoint(true)
+      val nextChk = chk(next)
       rounds += 1
       // fixpoint: the edge SET is unchanged — ONE distributed symmetric-
       // difference action (both sides are distinct, so a pair present in
       // both rounds counts 2, a changed pair counts 1); no driver
       // materialization
-      done = cur.union(next).groupBy(col("u"), col("v"))
+      done = cur.union(nextChk).groupBy(col("u"), col("v"))
         .count().filter(col("count") === 1).isEmpty
       cur.unpersist()
-      cur = next
+      cur = nextChk
     }
     // at the fixpoint the graph is a star forest centered on component
     // minima: every non-center's component is its (unique) smaller
     // neighbor; centers label themselves. Materialize the labels so the
     // final round's checkpoint blocks can be released (a bare lazy result
     // would pin them for the caller's lifetime).
-    val labels = cur.select(col("u").as("node"), col("v").as("component"))
+    val labels = chk(cur.select(col("u").as("node"), col("v").as("component"))
       .union(cur.select(col("v").as("node"), col("v").as("component")))
-      .groupBy(col("node")).agg(min(col("component")).as("component"))
-      .localCheckpoint(true)
+      .groupBy(col("node")).agg(min(col("component")).as("component")))
     cur.unpersist()
     (labels, rounds)
   }

@@ -39,6 +39,24 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
   val stats: CorpusStats = IndexBuilder.stats(cfg)
   private val p = cfg.bm25
 
+  /** Cleanup actions registered as each lazy cached resource materializes;
+    * close() drains them so a superseded Searcher (stale fingerprint or
+    * replaced session) releases its persisted blocks and broadcasts
+    * instead of leaking for the life of the process. */
+  private val cleanups =
+    new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+
+  /** Release every persisted/broadcast resource this Searcher materialized.
+    * Safe on a stopped SparkSession (failures are swallowed — there is
+    * nothing left to free). The Searcher must not be used afterwards. */
+  def close(): Unit = {
+    var c = cleanups.poll()
+    while (c != null) {
+      try c() catch { case _: Exception => () }
+      c = cleanups.poll()
+    }
+  }
+
   /** Block-max upper bounds were computed with the avgdl at each segment's
     * write time; appends raise the corpus avgdl, which raises true tf-norms.
     * norm(a_new)/norm(a_old) <= a_new/a_old, so scaling stored bounds by
@@ -59,6 +77,7 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
       .select($"docId", $"dl").as[(Long, Int)]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ds.count() // materialize
+    cleanups.add(() => { ds.unpersist(); () })
     ds
   }
 
@@ -81,8 +100,11 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
   }
 
   private lazy val normsBroadcast
-      : org.apache.spark.broadcast.Broadcast[Array[Int]] =
-    spark.sparkContext.broadcast(normsLocalArr)
+      : org.apache.spark.broadcast.Broadcast[Array[Int]] = {
+    val b = spark.sparkContext.broadcast(normsLocalArr)
+    cleanups.add(() => b.destroy())
+    b
+  }
 
   /** Driver-local serving cache. The north-rule headline includes top-k p50
     * LATENCY; at small/hot index sizes a distributed WAND query is pure
@@ -120,6 +142,7 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
       .select($"term", $"termId", $"df", $"maxTfNorm", $"nBlocks")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     df.count()
+    cleanups.add(() => { df.unpersist(); () })
     df
   }
 
@@ -168,6 +191,7 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
     if (nBlocks <= 1000000L) {
       val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       c.count()
+      cleanups.add(() => { c.unpersist(); () })
       c
     } else df
   }

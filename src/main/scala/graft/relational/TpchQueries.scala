@@ -729,7 +729,68 @@ object TpchQueries {
       ops.update("t", col("o_orderkey") < 100, "o_totalprice",
         col("o_totalprice") * 2)
       ops.expire("t", 2)
-      ops.vacuum("t")
+      ops.vacuum("t", 0L) // single-writer maintenance window: no age guard
+      ops.read("t").orderBy(col("o_orderkey"))
+    }),
+
+    // --- multi-operation atomic transaction (reference Begin/Commit/Abort,
+    //     transaction_manager.h:50-92 — the TPC-C NewOrder shape: several
+    //     DML statements visible all-or-nothing): insert, then update, then
+    //     delete inside ONE tx = ONE committed version; the update sees the
+    //     inserted rows (read-your-writes) and the oracle replays the same
+    //     sequence in SQL. An aborted probe tx beforehand (rollback after
+    //     staging an insert) must leave no trace. *2 is IEEE-exact.
+    "q85_transaction" -> ((s, d) => {
+      val ops = freshTable(s, d, "q85")
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      ops.create("t", o.filter(col("o_orderkey") < 1000))
+      // aborted transaction: staged files must never become visible
+      try ops.tx("t") { tx =>
+        tx.insert(o.filter(col("o_orderkey") >= 5000 && col("o_orderkey") < 5200))
+        tx.rollback()
+      } catch { case _: graft.sources.TableOps.TransactionAborted => () }
+      ops.tx("t") { tx =>
+        tx.insert(o.filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 1500))
+        tx.update(col("o_orderstatus") === "F", "o_totalprice",
+          col("o_totalprice") * 2)
+        tx.delete(col("o_totalprice") > 300000.0)
+      }
+      ops.read("t").orderBy(col("o_orderkey"))
+    }),
+
+    // --- MERGE INTO / upsert-by-key (reference Insert/InsertSelect +
+    //     Update, logical_operators.h:718,801,995; the incremental-ingest
+    //     shape): matched keys take the source's o_totalprice (file-pruned
+    //     copy-on-write), unmatched source rows are inserted — one atomic
+    //     commit. Source = keys 500..1499 with *2 price (IEEE-exact), so
+    //     keys 500..999 update in place and 1000..1499 append.
+    "q86_merge_upsert" -> ((s, d) => {
+      val ops = freshTable(s, d, "q86")
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      ops.create("t", o.filter(col("o_orderkey") < 1000))
+      val source = o.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 1500)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      ops.merge("t", source, "o_orderkey", Seq("o_totalprice"))
+      ops.read("t").orderBy(col("o_orderkey"))
+    }),
+
+    // --- table-file compaction (reference block_compactor.cpp folds hot
+    //     blocks into cold contiguous blocks; Iceberg rewrite_data_files):
+    //     four O(new rows) inserts accumulate small file-groups; compact
+    //     bin-packs them into consolidated files as one new version, and
+    //     the data is byte-identical — which is exactly what the oracle
+    //     checks (file counts, time travel and expire() interplay are
+    //     pinned in TableOpsSpec).
+    "q88_compact" -> ((s, d) => {
+      val ops = freshTable(s, d, "q88")
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      ops.create("t", o.filter(col("o_orderkey") < 250))
+      ops.insert("t", o.filter(col("o_orderkey") >= 250 && col("o_orderkey") < 500))
+      ops.insert("t", o.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 750))
+      ops.insert("t", o.filter(col("o_orderkey") >= 750 && col("o_orderkey") < 1000))
+      ops.compactTable("t")
       ops.read("t").orderBy(col("o_orderkey"))
     }),
 
@@ -1078,6 +1139,27 @@ object TpchQueries {
         |      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0) o
         |RIGHT OUTER JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY c_custkey""".stripMargin,
+    "q85_transaction" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey < 1500),
+        |upd AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM base)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd
+        |WHERE o_totalprice <= 300000.0
+        |ORDER BY o_orderkey""".stripMargin,
+    "q86_merge_upsert" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey >= 500 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderkey < 1500
+        |ORDER BY o_orderkey""".stripMargin,
+    "q88_compact" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin,
     "q83_expire" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey < 100 THEN o_totalprice * 2

@@ -224,10 +224,7 @@ final class TableOps(spark: SparkSession, root: String) {
     val v = currentVersion(table)
     require(v >= 0, s"table $table does not exist under $root")
     val next = v + 1
-    val m = readManifest(table, v)
-    val files = writeData(table, next, rows.select(m.columns.map(col): _*))
-    commitVersion(table, next,
-      m.copy(groups = m.groups :+ Group(files, ListMap.empty)))
+    commitVersion(table, next, applyInsert(table, next, readManifest(table, v), rows))
     next
   }
 
@@ -240,17 +237,19 @@ final class TableOps(spark: SparkSession, root: String) {
     mutate(table, cond, df => df.withColumn(setCol,
       when(coalesce(cond, lit(false)), value).otherwise(col(setCol))))
 
-  /** Copy-on-write at FILE granularity: a pushdown scan finds the files
-    * with matching rows (parquet footer min/max prunes the rest without
-    * reading data); only those files are rewritten — with the current
-    * schema materialized (migration-on-write) — and every untouched file
-    * is carried into the new manifest as-is. */
-  private def mutate(table: String, cond: Column,
-      rewrite: DataFrame => DataFrame): Long = {
-    val v = currentVersion(table)
-    require(v >= 0, s"table $table does not exist under $root")
-    val next = v + 1
-    val m = readManifest(table, v)
+  private def applyInsert(table: String, next: Long, m: VersionManifest,
+      rows: DataFrame): VersionManifest = {
+    val files = writeData(table, next, rows.select(m.columns.map(col): _*))
+    m.copy(groups = m.groups :+ Group(files, ListMap.empty))
+  }
+
+  /** Copy-on-write at FILE granularity against an arbitrary working
+    * manifest: a pushdown scan finds the files with matching rows (parquet
+    * footer min/max prunes the rest without reading data); only those files
+    * are rewritten — with the current schema materialized
+    * (migration-on-write) — and every untouched file is carried as-is. */
+  private def applyMutate(table: String, next: Long, m: VersionManifest,
+      cond: Column, rewrite: DataFrame => DataFrame): VersionManifest = {
     var kept = Seq.empty[Group]
     var hitDfs = Seq.empty[DataFrame]
     m.groups.foreach { g =>
@@ -271,9 +270,198 @@ final class TableOps(spark: SparkSession, root: String) {
         val files = writeData(table, next, rewritten)
         if (files.nonEmpty) kept :+ Group(files, ListMap.empty) else kept
       }
-    require(groups.nonEmpty, s"mutation would leave $table with no files " +
+    m.copy(groups = groups)
+  }
+
+  private def mutate(table: String, cond: Column,
+      rewrite: DataFrame => DataFrame): Long = {
+    val v = currentVersion(table)
+    require(v >= 0, s"table $table does not exist under $root")
+    val next = v + 1
+    val m2 = applyMutate(table, next, readManifest(table, v), cond, rewrite)
+    require(m2.groups.nonEmpty, s"mutation would leave $table with no files " +
       "(delete of every row is expressed as create of the empty state)")
+    commitVersion(table, next, m2)
+    next
+  }
+
+  /** A multi-operation atomic transaction over one table — the reference's
+    * Begin/Commit/Abort surface (transaction_manager.h:50-92: a txn spans
+    * arbitrarily many operations; abort rolls all of them back via version
+    * chains). Spark-native equivalent: every operation inside the
+    * transaction writes its data files eagerly (staged under the target
+    * version's uuid dirs) but edits only an IN-MEMORY working manifest;
+    * commit publishes the final manifest as ONE optimistic-concurrency
+    * version — readers see all of the transaction's effects or none.
+    * Abort (any exception out of the body, or rollback()) publishes
+    * nothing: the staged files are unreferenced orphans, invisible to
+    * every reader and reclaimed by vacuum() — exactly the crash story of
+    * single operations, extended to the whole sequence. Operations inside
+    * the transaction see their predecessors' effects (read-your-writes),
+    * so insert→update→delete compose with sequential semantics. */
+  final class Transaction private[TableOps] (table: String, base: Long) {
+    private[TableOps] val next: Long = base + 1
+    private[TableOps] var work: VersionManifest = readManifest(table, base)
+
+    def insert(rows: DataFrame): Unit =
+      work = applyInsert(table, next, work, rows)
+
+    def update(cond: Column, setCol: String, value: Column): Unit =
+      work = applyMutate(table, next, work, cond, df => df.withColumn(setCol,
+        when(coalesce(cond, lit(false)), value).otherwise(col(setCol))))
+
+    def delete(cond: Column): Unit =
+      work = applyMutate(table, next, work, cond,
+        df => df.filter(!coalesce(cond, lit(false))))
+
+    /** The transaction's current working state (uncommitted read-your-writes
+      * view; other readers cannot see it). */
+    def read(): DataFrame = {
+      require(work.groups.nonEmpty, s"transaction state of $table is empty")
+      work.groups.map(readGroup(table, _, work.columns)).reduce(_.unionByName(_))
+    }
+
+    /** Explicit abort: unwinds tx() without committing. */
+    def rollback(): Nothing = throw new TableOps.TransactionAborted(table)
+  }
+
+  /** Run `body` as one atomic transaction; returns the committed version.
+    * Any exception (including rollback()) aborts — no version is published
+    * and the table is unchanged. The commit itself is the same OCC claim as
+    * single operations: a concurrent committed writer makes the whole
+    * transaction fail with ConcurrentCommitException (retry = rerun tx()). */
+  def tx(table: String)(body: Transaction => Unit): Long = {
+    val v = currentVersion(table)
+    require(v >= 0, s"table $table does not exist under $root")
+    val t = new Transaction(table, v)
+    body(t)
+    require(t.work.groups.nonEmpty, s"transaction would leave $table with " +
+      "no files (delete of every row is expressed as create of the empty state)")
+    commitVersion(table, t.next, t.work)
+    t.next
+  }
+
+  /** MERGE INTO target USING source ON target.key = source.key
+    * WHEN MATCHED THEN UPDATE SET (setCols from source)
+    * WHEN NOT MATCHED THEN INSERT (all columns from source)
+    * — the keyed-upsert shape every incremental ingest runs (reference
+    * plans Insert/InsertSelect + Update with index maintenance,
+    * logical_operators.h:718,801,995; the modern surface is SQL MERGE).
+    *
+    * Copy-on-write at file granularity, like update()/delete(): a semi-join
+    * scan per group finds the files holding matched keys (footer min/max
+    * prunes the rest); ONLY those files are rewritten, with matched rows
+    * taking the source's setCols; unmatched source rows are appended from
+    * an anti-join against the full target. One atomic commit covers both
+    * halves. `source` must be key-unique (the SQL MERGE cardinality rule —
+    * enforced, since duplicate matches would write nondeterministically)
+    * and must carry every target column (for the insert half). */
+  def merge(table: String, source: DataFrame, key: String,
+      setCols: Seq[String]): Long = {
+    val v = currentVersion(table)
+    require(v >= 0, s"table $table does not exist under $root")
+    val next = v + 1
+    val m = readManifest(table, v)
+    require(m.columns.contains(key), s"no key column $key in $table")
+    require(setCols.forall(m.columns.contains),
+      s"setCols ${setCols.filterNot(m.columns.contains)} not in $table")
+    require(!setCols.contains(key), "cannot update the merge key itself")
+    val src = source.select(m.columns.map(col): _*)
+    require(src.groupBy(col(key)).count().filter(col("count") > 1).isEmpty,
+      s"merge source has duplicate $key values (SQL MERGE cardinality rule)")
+    val srcKeys = src.select(col(key))
+    var kept = Seq.empty[Group]
+    var hitDfs = Seq.empty[DataFrame]
+    m.groups.foreach { g =>
+      var df = spark.read.parquet(g.paths.map(p => s"$root/$table/$p"): _*)
+        .withColumn("__file", input_file_name())
+      g.fills.foreach { case (c, sql) => df = df.withColumn(c, expr(sql)) }
+      val affected = df.join(srcKeys, Seq(key), "left_semi")
+        .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
+      val (hit, unhit) = g.paths.partition(p => affected.exists(_.endsWith(p)))
+      if (unhit.nonEmpty) kept :+= Group(unhit, g.fills)
+      if (hit.nonEmpty) hitDfs :+= readGroup(table, g.copy(paths = hit), m.columns)
+    }
+    // matched rows: source values for setCols, keyed by an explicit marker
+    // (NOT coalesce — a legitimately-NULL source value must win)
+    val marked = src.select(col(key) +: setCols.map(c =>
+      col(c).as(s"__src_$c")) :+ lit(true).as("__matched"): _*)
+    val updated = hitDfs.reduceOption(_.unionByName(_)).map { hits =>
+      hits.join(marked, Seq(key), "left").select(m.columns.map { c =>
+        if (setCols.contains(c))
+          when(col("__matched"), col(s"__src_$c")).otherwise(col(c)).as(c)
+        else col(c)
+      }: _*)
+    }
+    // unmatched source rows = anti-join vs the FULL current target
+    val target = m.groups.map(readGroup(table, _, m.columns))
+      .reduce(_.unionByName(_))
+    val inserts = src.join(target.select(col(key)), Seq(key), "left_anti")
+      .select(m.columns.map(col): _*)
+    val toWrite = updated.map(_.unionByName(inserts)).getOrElse(inserts)
+    val files = writeData(table, next, toWrite)
+    val groups = if (files.nonEmpty) kept :+ Group(files, ListMap.empty) else kept
+    require(groups.nonEmpty, s"merge would leave $table with no files")
     commitVersion(table, next, m.copy(groups = groups))
+    next
+  }
+
+  /** Table-file compaction — the missing half of the O(new rows) insert
+    * story (the reference's background block compactor,
+    * /root/reference/src/storage/block_compactor.cpp, folds hot blocks into
+    * cold contiguous blocks; Iceberg ships the same as rewrite_data_files):
+    * every insert appends a small file-group, and at 100 TB the accumulated
+    * small files — not the data volume — kill scan planning. compactTable
+    * bin-packs all files SMALLER than `targetFileBytes` into consolidated
+    * files (materializing the current schema — migration-on-write) and
+    * commits them as one new version; files already at target size are
+    * carried by reference, untouched. Older versions keep their manifests
+    * and files, so time travel is intact; expire() reclaims the superseded
+    * small files. coalesce (not repartition): bin-packing needs no shuffle —
+    * each output task drains a run of input files, the Iceberg binpack
+    * strategy.
+    *
+    * `sortBy` (opt-in, Iceberg's "sort" rewrite strategy) range-partitions
+    * and sorts the packed rows instead: output files get DISJOINT min/max
+    * ranges on the sort columns, so parquet footer stats actually prune —
+    * every later file-level mutate/merge/scan with a predicate on those
+    * columns touches only the files whose range matches. Costs one shuffle
+    * (the point of doing it at compaction time, once, instead of per
+    * query). Returns the new version (or the current one if there was
+    * nothing to compact). */
+  def compactTable(table: String, targetFileBytes: Long = 128L * 1024 * 1024,
+      sortBy: Seq[String] = Nil): Long = {
+    val v = currentVersion(table)
+    require(v >= 0, s"table $table does not exist under $root")
+    val m = readManifest(table, v)
+    var carried = Seq.empty[Group]
+    var small = Seq.empty[Group]
+    var smallBytes = 0L
+    var nSmall = 0
+    m.groups.foreach { g =>
+      val (big, sm) = g.paths.partition(p =>
+        Files.size(Paths.get(root, table, p)) >= targetFileBytes)
+      if (big.nonEmpty) carried :+= Group(big, g.fills)
+      if (sm.nonEmpty) {
+        small :+= Group(sm, g.fills)
+        smallBytes += sm.map(p => Files.size(Paths.get(root, table, p))).sum
+        nSmall += sm.size
+      }
+    }
+    if (nSmall <= 1 && sortBy.isEmpty) return v // nothing to bin-pack
+    if (small.isEmpty) return v
+    val next = v + 1
+    val nOut = math.max(1L, (smallBytes + targetFileBytes - 1) / targetFileBytes)
+      .min(nSmall.toLong).toInt
+    val unioned = small.map(readGroup(table, _, m.columns))
+      .reduce(_.unionByName(_))
+    val packed =
+      if (sortBy.isEmpty) unioned.coalesce(nOut)
+      else unioned.repartitionByRange(nOut, sortBy.map(col): _*)
+        .sortWithinPartitions(sortBy.map(col): _*)
+    val files = writeData(table, next, packed)
+    commitVersion(table, next, m.copy(groups =
+      if (files.nonEmpty) carried :+ Group(files, ListMap.empty) else carried))
     next
   }
 
@@ -360,16 +548,30 @@ final class TableOps(spark: SparkSession, root: String) {
     next
   }
 
+  /** Recursively delete a file or directory tree (e.g. a `_temporary` dir
+    * left by a crashed Spark write nested inside a writer dir — a flat
+    * Files.delete would throw DirectoryNotEmptyException mid-sweep and
+    * leave expire/vacuum partially applied). Returns deleted parquet count. */
+  private def deleteRecursively(p: Path): Int = {
+    var parquet = 0
+    if (Files.isDirectory(p)) listDir(p).foreach(parquet += deleteRecursively(_))
+    else if (p.getFileName.toString.endsWith(".parquet")) parquet = 1
+    Files.delete(p)
+    parquet
+  }
+
   /** Snapshot expiration — the lifecycle half of the commit model (the
     * reference GCs version chains in garbage_collector.cpp; Iceberg's
     * expire_snapshots): drop every version older than the newest
     * `keepVersions`, delete their manifests / claims / stats, then delete
-    * every data file no KEPT manifest references. Time travel inside the
-    * kept window stays exact (files are refcounted across manifests, so a
-    * file shared with a kept version survives); reads of expired versions
-    * fail with "no manifest". Like vacuum(), must only run while no writer
-    * is active (an in-flight writer's new files are not yet referenced).
-    * Returns (expiredVersions, deletedFiles). */
+    * the data files those EXPIRED manifests referenced and no kept manifest
+    * still does. Time travel inside the kept window stays exact (files are
+    * refcounted across manifests, so a file shared with a kept version
+    * survives); reads of expired versions fail with "no manifest". Files
+    * referenced by NO manifest at all (in-flight or crashed writers) are
+    * deliberately NOT expire's business — only vacuum(), with its age
+    * guard, touches them — so expire is safe to run concurrently with a
+    * writer. Returns (expiredVersions, deletedFiles). */
   def expire(table: String, keepVersions: Int): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the current version")
     val current = currentVersion(table)
@@ -378,6 +580,13 @@ final class TableOps(spark: SparkSession, root: String) {
     val kept = (keepFrom to current).filter(v => Files.exists(manifestPath(table, v)))
     val referenced: Set[String] =
       kept.flatMap(v => readManifest(table, v).groups.flatMap(_.paths)).toSet
+    // files owned by the expiring window: referenced by an expired manifest,
+    // by no kept one (read these BEFORE deleting the manifests)
+    val expiring = (0L until keepFrom)
+      .filter(v => Files.exists(manifestPath(table, v)))
+    val toDelete: Set[String] = expiring
+      .flatMap(v => readManifest(table, v).groups.flatMap(_.paths))
+      .toSet -- referenced
     var expired = 0
     (0L until keepFrom).foreach { v =>
       val mp = manifestPath(table, v)
@@ -385,35 +594,37 @@ final class TableOps(spark: SparkSession, root: String) {
       Files.deleteIfExists(claimPath(table, v))
       Files.deleteIfExists(Paths.get(root, table, s"stats-v$v.json"))
     }
-    // delete data files referenced only by expired manifests, then any
-    // data dir left empty (incl. spark _SUCCESS markers)
     var deleted = 0
-    val dataRoot = Paths.get(root, table, "data")
-    if (Files.exists(dataRoot)) {
-      listDir(dataRoot).filter(Files.isDirectory(_)).foreach { sub =>
+    toDelete.foreach { rel =>
+      val p = Paths.get(root, table, rel)
+      if (Files.deleteIfExists(p)) deleted += 1
+    }
+    // sweep writer dirs the deletions emptied of expired-owned content:
+    // remaining entries that are neither referenced nor parquet (Spark
+    // _SUCCESS markers, crashed _temporary dirs) go with the dir
+    toDelete.map(rel => Paths.get(root, table, rel).getParent).foreach { sub =>
+      if (Files.exists(sub)) {
         val rel = s"data/${sub.getFileName}"
-        val files = listDir(sub)
-        val (keep, drop) = files.partition { f =>
-          referenced.contains(s"$rel/${f.getFileName}")
-        }
-        drop.foreach { f =>
-          if (f.getFileName.toString.endsWith(".parquet")) deleted += 1
-          Files.delete(f)
-        }
-        if (keep.isEmpty) Files.delete(sub)
+        val entries = listDir(sub)
+        val liveContent = entries.exists(f =>
+          referenced.contains(s"$rel/${f.getFileName}") ||
+            f.getFileName.toString.endsWith(".parquet"))
+        if (!liveContent) deleteRecursively(sub)
       }
     }
     (expired, deleted)
   }
 
   /** Orphan-file vacuum: delete data files referenced by NO manifest at all
-    * — the uuid dirs left by crashed or OCC-losing writers (acknowledged
-    * harmless for correctness, unbounded for storage). Must only run while
-    * no writer is active (an in-flight writer's files are not yet
-    * referenced — the standard Iceberg remove_orphan_files caveat); the
-    * `minAgeMs` guard (default 0 for tests; hours in production) is the
-    * belt-and-braces filter for that. Returns deleted parquet-file count. */
-  def vacuum(table: String, minAgeMs: Long = 0L): Int = {
+    * — the uuid dirs left by crashed, aborted-transaction or OCC-losing
+    * writers (acknowledged harmless for correctness, unbounded for
+    * storage). An in-flight writer's files are also not yet referenced —
+    * the standard Iceberg remove_orphan_files hazard — so `minAgeMs`
+    * defaults to the production-safe 24 h (TableOps.DefaultVacuumAgeMs):
+    * only dirs whose every file is older than the longest plausible commit
+    * are swept. Tests and single-writer maintenance windows pass 0L
+    * explicitly. Returns deleted parquet-file count. */
+  def vacuum(table: String, minAgeMs: Long = TableOps.DefaultVacuumAgeMs): Int = {
     require(currentVersion(table) >= 0, s"table $table does not exist under $root")
     val referenced: Set[String] = listDir(Paths.get(root, table))
       .filter(_.getFileName.toString.matches("manifest-v\\d+\\.json"))
@@ -431,15 +642,13 @@ final class TableOps(spark: SparkSession, root: String) {
         val files = listDir(sub)
         val anyReferenced =
           files.exists(f => referenced.contains(s"$rel/${f.getFileName}"))
-        val oldEnough = files.forall(f =>
-          now - Files.getLastModifiedTime(f).toMillis >= minAgeMs)
-        if (!anyReferenced && oldEnough && files.nonEmpty) {
-          files.foreach { f =>
-            if (f.getFileName.toString.endsWith(".parquet")) deleted += 1
-            Files.delete(f)
-          }
-          Files.delete(sub)
-        }
+        // age check walks the whole subtree, so a fresh file inside a
+        // nested _temporary dir also holds the sweep back
+        def ageOk(p: Path): Boolean =
+          if (Files.isDirectory(p)) listDir(p).forall(ageOk)
+          else now - Files.getLastModifiedTime(p).toMillis >= minAgeMs
+        if (!anyReferenced && files.nonEmpty && files.forall(ageOk))
+          deleted += deleteRecursively(sub)
       }
     }
     deleted
@@ -493,4 +702,13 @@ object TableOps {
     * to claim (write-write conflict under optimistic concurrency). */
   final class ConcurrentCommitException(msg: String)
     extends RuntimeException(msg)
+
+  /** Thrown by Transaction.rollback() — unwinds tx() without committing. */
+  final class TransactionAborted(table: String)
+    extends RuntimeException(s"transaction on $table rolled back")
+
+  /** Default orphan age below which vacuum() will not sweep: longer than
+    * any plausible in-flight commit, so the default orientation is safe
+    * against a live writer (tests pass 0L explicitly). */
+  val DefaultVacuumAgeMs: Long = 24L * 3600 * 1000
 }

@@ -66,6 +66,38 @@ object StreamingOps {
         })
   }
 
+  /** Staged landing-zone cache: FileStreamSource wants a directory of
+    * files, so the events table is staged into a temp dir once per
+    * (dir, content fingerprint) and reused by every streaming harness call
+    * — q66/q81/q87 and the bench's best-of-k no longer each write a fresh
+    * full copy of the dataset into java.io.tmpdir (ADVICE r4: the per-call
+    * staging accumulated copies per run). A regenerated dataset gets a
+    * fresh staging; the superseded dir is deleted. */
+  private case class Staged(key: String, path: String)
+  private val stagedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Staged]()
+
+  private def stagedEvents(spark: SparkSession, dir: String): String =
+    stagedCache.synchronized {
+      val key = graft.sources.ContentFingerprint.of(s"$dir/events.parquet")
+      val existing = stagedCache.get(dir)
+      if (existing != null && existing.key == key) existing.path
+      else {
+        if (existing != null)
+          org.apache.commons.io.FileUtils.deleteDirectory(
+            new java.io.File(existing.path))
+        val batch = spark.read.parquet(s"$dir/events.parquet")
+        val staged = java.nio.file.Files
+          .createTempDirectory("graft-stream-landing").toString
+        batch.write.mode("overwrite").parquet(s"$staged/in")
+        stagedCache.put(dir, Staged(key, staged))
+        staged
+      }
+    }
+
+  private def eventsSchema(spark: SparkSession, dir: String) =
+    spark.read.parquet(s"$dir/events.parquet").schema
+
   /** Drive a finite parquet table through a streaming query into a memory
     * sink and return the result (test/demo harness: batch-as-stream).
     * `mode`: "append" emits only watermark-finalized windows (the unbounded
@@ -74,13 +106,8 @@ object StreamingOps {
     * oracle. */
   def runToMemory(spark: SparkSession, dir: String, name: String,
       mode: String = "append"): DataFrame = {
-    // FileStreamSource wants a directory of files — stage the single-file
-    // table into a temp dir (what a real deployment's landing zone is)
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-    val staged = java.nio.file.Files
-      .createTempDirectory(s"graft-stream-$name").toString
-    batch.write.mode("overwrite").parquet(s"$staged/in")
-    val stream = spark.readStream.schema(batch.schema)
+    val staged = stagedEvents(spark, dir)
+    val stream = spark.readStream.schema(eventsSchema(spark, dir))
       .parquet(s"$staged/in")
     val q = hourlyAgg(stream).writeStream
       .outputMode(mode)
@@ -132,15 +159,53 @@ object StreamingOps {
     * streams off the same landing dir) into a memory sink. */
   def runJoinToMemory(spark: SparkSession, dir: String, name: String)
       : DataFrame = {
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-    val staged = java.nio.file.Files
-      .createTempDirectory(s"graft-stream-$name").toString
-    batch.write.mode("overwrite").parquet(s"$staged/in")
-    def src = spark.readStream.schema(batch.schema).parquet(s"$staged/in")
+    val staged = stagedEvents(spark, dir)
+    val schema = eventsSchema(spark, dir)
+    def src = spark.readStream.schema(schema).parquet(s"$staged/in")
     val joined = clickAttribution(
       src.filter(col("event_type") === "click"),
       src.filter(col("event_type") === "purchase"))
     val q = joined.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** Streaming deduplication within the watermark — the streaming half of
+    * the dedup family for continuous ingest (batch exact-dedup is q33;
+    * Spark's dropDuplicatesWithinWatermark keeps per-key state only until
+    * the key's event time falls behind the watermark, so state is bounded
+    * on an unbounded stream — the property a 100-TB/day landing zone
+    * needs, vs. plain dropDuplicates whose state grows forever). First
+    * occurrence wins and is emitted immediately (append mode), so over a
+    * finite input the output is exactly the distinct set. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+
+  /** Batch twin of dedupWithinWatermark over an already-duplicated input
+    * (for the StreamingSpec equivalence pin): rows are exact duplicates,
+    * so key-dedup == row-distinct. */
+  def dedupBatch(events: DataFrame): DataFrame =
+    events.select(col("event_id"), col("user_id"), col("event_type"),
+      col("value")).distinct()
+
+  /** Drive the streaming dedup over a duplicated finite input: TWO file
+    * streams off the same landing dir unioned (every event arrives twice —
+    * the redelivery shape at-least-once ingest actually produces), then
+    * dropDuplicatesWithinWatermark keeps each event_id once. */
+  def runDedupToMemory(spark: SparkSession, dir: String, name: String)
+      : DataFrame = {
+    val staged = stagedEvents(spark, dir)
+    val schema = eventsSchema(spark, dir)
+    def src = spark.readStream.schema(schema).parquet(s"$staged/in")
+    val q = dedupWithinWatermark(src.union(src)).writeStream
       .outputMode(OutputMode.Append)
       .format("memory")
       .queryName(name)
@@ -180,6 +245,15 @@ object StreamingOps {
         .orderBy(col("click_id"), col("purchase_id"))
     }),
 
+    // --- streaming dedup within the watermark (bounded state; every event
+    //     delivered twice via a self-union of two file streams, each kept
+    //     once). value is the STORED double, so the oracle match is exact.
+    "q87_stream_dedup" -> ((s, d) => {
+      runDedupToMemory(s, d,
+        s"q87_${math.abs(d.hashCode)}_${runCounter.incrementAndGet()}")
+        .orderBy(col("event_id"))
+    }),
+
     "q68_sessionize" -> ((s, d) => {
       import s.implicits._
       val events = s.read.parquet(s"$d/events.parquet")
@@ -206,6 +280,9 @@ object StreamingOps {
         | AND a.event_type = 'click' AND b.event_type = 'purchase'
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
         |ORDER BY click_id, purchase_id""".stripMargin,
+    "q87_stream_dedup" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
     "q68_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts,

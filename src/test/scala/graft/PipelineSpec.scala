@@ -156,6 +156,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(prounds <= 2 * 7 + 2, s"path graph took $prounds rounds")
   }
 
+  test("connected components: reliable-checkpoint path yields identical labels") {
+    import graft.pipeline.ConnectedComponents
+    // the cluster configuration (VERDICT r4): per-round checkpoints to a
+    // durable dir instead of localCheckpoint, so losing an executor
+    // mid-iteration recomputes from storage instead of killing the job —
+    // labels must be identical to the local-mode default
+    val rnd = new scala.util.Random(13)
+    val edges = Seq.fill(300)((rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+      .filter(e => e._1 != e._2)
+    val (localLabels, _) = ConnectedComponents.run(spark, edges.toDF("a", "b"))
+    val ckptDir = TestSpark.tmpDir("graft-cc-ckpt")
+    val (reliableLabels, rRounds) = ConnectedComponents.run(
+      spark, edges.toDF("a", "b"), checkpointDir = Some(ckptDir))
+    assert(reliableLabels.as[(Long, Long)].collect().toMap ==
+      localLabels.as[(Long, Long)].collect().toMap)
+    assert(rRounds >= 1)
+    // the reliable path actually wrote durable round snapshots
+    assert(new java.io.File(ckptDir).list().nonEmpty,
+      "no reliable checkpoint written")
+  }
+
   test("q79: components are consistent with the q35 pair graph (keep/drop closure)") {
     val labels = TextPipeline.queries("q79_dedup_components")(spark, sf)
       .as[(Long, Long, Boolean)].collect()

@@ -67,6 +67,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming dedup within watermark: doubled delivery, each event kept once") {
+    val streamed = StreamingOps.runDedupToMemory(spark, sf, "stream_dedup_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3)))
+    // exactly once despite every event arriving twice (self-unioned streams)
+    assert(streamed.length == streamed.map(_._1).distinct.length,
+      "an event_id was emitted more than once")
+    val batch = StreamingOps.dedupBatch(
+      spark.read.parquet(s"$sf/events.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .union(spark.read.parquet(s"$sf/events.parquet")
+          .withColumn("ts", col("ts").cast("timestamp"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3)))
+    assert(streamed.toSet == batch.toSet,
+      "streaming dedup disagrees with the batch distinct twin")
+  }
+
   test("sessionize emits deterministic gap-based sessions matching a plain fold") {
     val events = spark.read.parquet(s"$sf/events.parquet").as[Event]
     val got = StreamingOps.sessionize(events).collect()

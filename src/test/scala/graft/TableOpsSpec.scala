@@ -219,12 +219,223 @@ class TableOpsSpec extends AnyFunSuite {
     java.nio.file.Files.createDirectories(orphan)
     java.nio.file.Files.write(orphan.resolve("part-00000.parquet"),
       Array[Byte](1, 2, 3))
-    assert(ops.vacuum("t") == 1)
+    // a nested _temporary dir (crashed Spark write debris) must not abort
+    // the sweep with DirectoryNotEmptyException
+    val nested = orphan.resolve("_temporary")
+    java.nio.file.Files.createDirectories(nested)
+    java.nio.file.Files.write(nested.resolve("task-0.parquet"),
+      Array[Byte](4, 5))
+    // DEFAULT age guard (24 h): a fresh orphan is NOT swept — the unsafe-
+    // default orientation of r4 (0 ms) would delete an in-flight writer's
+    // staged files
+    assert(ops.vacuum("t") == 0)
+    assert(java.nio.file.Files.exists(orphan))
+    // explicit 0 age (tests / quiesced maintenance window) sweeps it,
+    // recursively (both parquet files counted)
+    assert(ops.vacuum("t", 0L) == 2)
     assert(!java.nio.file.Files.exists(orphan))
     assert(dataFiles(root, "t") == referenced, "vacuum touched live files")
     assert(ops.read("t").count() == 2)
     // idempotent
-    assert(ops.vacuum("t") == 0)
+    assert(ops.vacuum("t", 0L) == 0)
+  }
+
+  test("expire never deletes files it does not own: orphans are vacuum's business") {
+    val root = TestSpark.tmpDir("graft-tables-expire-orphan")
+    val ops = new TableOps(spark, root)
+    ops.create("t", (1L to 50L).toDF("id").withColumn("v", lit(1.0)).coalesce(1))
+    ops.update("t", $"id" <= 10L, "v", lit(2.0)) // v1 rewrites v0's file
+    // fabricate an IN-FLIGHT writer's staged (not yet referenced) files —
+    // r4's expire would have deleted these, losing a live writer's commit
+    val inflight = java.nio.file.Paths.get(root, "t", "data", "v2-cafebabe")
+    java.nio.file.Files.createDirectories(inflight)
+    java.nio.file.Files.write(inflight.resolve("part-00000.parquet"),
+      Array[Byte](9))
+    val (expired, deleted) = ops.expire("t", 1)
+    assert(expired == 1 && deleted >= 1)
+    assert(java.nio.file.Files.exists(inflight.resolve("part-00000.parquet")),
+      "expire deleted an in-flight writer's staged file")
+    assert(ops.read("t").count() == 50)
+  }
+
+  test("transaction: all operations commit as ONE version, abort/crash leaves no trace") {
+    val root = TestSpark.tmpDir("graft-tables-tx")
+    val ops = new TableOps(spark, root)
+    ops.create("t", (1L to 100L).toDF("id").withColumn("v", lit(1.0)))
+    assert(ops.currentVersion("t") == 0)
+
+    // the TPC-C NewOrder shape: insert + update + delete, atomic
+    val v = ops.tx("t") { tx =>
+      tx.insert((200L to 249L).toDF("id").withColumn("v", lit(1.0)))
+      tx.update($"id" >= 200L, "v", lit(5.0)) // sees the insert (RYW)
+      tx.delete($"id" <= 10L)
+    }
+    assert(v == 1 && ops.currentVersion("t") == 1,
+      "three operations must publish exactly one version")
+    val state = ops.read("t").select("id", "v").as[(Long, Double)]
+      .collect().toMap
+    assert(state.size == 140)
+    assert(state(200L) == 5.0 && state(50L) == 1.0 && !state.contains(5L))
+    // time travel: the pre-tx snapshot is intact
+    assert(ops.readVersion("t", 0).count() == 100)
+
+    // mid-transaction read sees staged work, other readers do not
+    intercept[TableOps.TransactionAborted] {
+      ops.tx("t") { tx =>
+        tx.insert(Seq((999L, 9.0)).toDF("id", "v"))
+        assert(tx.read().filter($"id" === 999L).count() == 1)
+        assert(ops.read("t").filter($"id" === 999L).count() == 0,
+          "uncommitted staged rows visible to outside readers")
+        tx.rollback()
+      }
+    }
+  }
+
+  test("transaction abort and mid-tx crash: invisible, staged files vacuumable") {
+    val root = TestSpark.tmpDir("graft-tables-txabort")
+    val ops = new TableOps(spark, root)
+    ops.create("t", (1L to 20L).toDF("id").withColumn("v", lit(1.0)))
+    val before = dataFiles(root, "t")
+
+    intercept[TableOps.TransactionAborted] {
+      ops.tx("t") { tx =>
+        tx.insert((100L to 120L).toDF("id").withColumn("v", lit(2.0)))
+        tx.rollback()
+      }
+    }
+    // a crash mid-body is the same shape as any exception
+    intercept[RuntimeException] {
+      ops.tx("t") { tx =>
+        tx.insert((300L to 320L).toDF("id").withColumn("v", lit(3.0)))
+        tx.update($"id" >= 300L, "v", lit(4.0))
+        sys.error("simulated crash between operations")
+      }
+    }
+    assert(ops.currentVersion("t") == 0, "aborted tx published a version")
+    assert(ops.read("t").count() == 20)
+    // staged files are on disk (orphans) but invisible; vacuum reclaims
+    assert(dataFiles(root, "t") != before, "expected staged orphan files")
+    assert(ops.vacuum("t", 0L) >= 2)
+    assert(dataFiles(root, "t") == before)
+    assert(ops.read("t").count() == 20)
+  }
+
+  test("transaction commit is OCC: a racing committed writer fails the whole tx") {
+    val root = TestSpark.tmpDir("graft-tables-txocc")
+    val ops = new TableOps(spark, root)
+    ops.create("t", Seq((1L, 1.0)).toDF("id", "v"))
+    intercept[TableOps.ConcurrentCommitException] {
+      ops.tx("t") { tx =>
+        tx.insert(Seq((2L, 2.0)).toDF("id", "v"))
+        // another writer commits the version this tx is targeting
+        new TableOps(spark, root).insert("t", Seq((3L, 3.0)).toDF("id", "v"))
+      }
+    }
+    // the racing writer's commit survives; the tx's work does not
+    assert(ops.read("t").select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L))
+  }
+
+  test("merge: matched keys update in place, unmatched insert, untouched files untouched") {
+    val root = TestSpark.tmpDir("graft-tables-merge")
+    val ops = new TableOps(spark, root)
+    // two known file-groups: keys 1-100 and 1000-1100
+    ops.create("t", (1L to 100L).toDF("id")
+      .withColumn("v", lit(1.0)).withColumn("tag", lit("a")).coalesce(1))
+    ops.insert("t", (1000L to 1100L).toDF("id")
+      .withColumn("v", lit(1.0)).withColumn("tag", lit("a")).coalesce(1))
+    val before = dataFiles(root, "t")
+    val untouched = before.filter(_.contains("/v0-")) // group 1's file
+
+    // source: updates keys 1000-1019 (second group only) + inserts 5000-5009
+    val source = ((1000L to 1019L) ++ (5000L to 5009L)).toDF("id")
+      .withColumn("v", lit(7.0)).withColumn("tag", lit("m"))
+    val v = ops.merge("t", source, "id", Seq("v", "tag"))
+    assert(v == 2)
+    val state = ops.read("t").select("id", "v", "tag")
+      .as[(Long, Double, String)].collect()
+    assert(state.length == 211)
+    val m = state.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(1000L) == ((7.0, "m")) && m(5005L) == ((7.0, "m")))
+    assert(m(50L) == ((1.0, "a")) && m(1050L) == ((1.0, "a")))
+    // file-pruned copy-on-write: the unmatched group's file was carried
+    assert(untouched.subsetOf(dataFiles(root, "t")),
+      "merge rewrote a file with no matched keys")
+    // NULL source values must WIN on matched rows (not coalesce semantics)
+    ops.merge("t", Seq((1000L, 0.0)).toDF("id", "v")
+      .withColumn("tag", lit(null).cast("string")), "id", Seq("tag"))
+    assert(ops.read("t").filter($"id" === 1000L).select("tag")
+      .as[String].collect().head == null)
+    // SQL MERGE cardinality rule: duplicate source keys are an error
+    intercept[IllegalArgumentException] {
+      ops.merge("t", Seq((1L, 1.0, "x"), (1L, 2.0, "y"))
+        .toDF("id", "v", "tag"), "id", Seq("v"))
+    }
+  }
+
+  test("compaction bin-packs small files; data identical; time travel + expire intact") {
+    val root = TestSpark.tmpDir("graft-tables-compact")
+    val ops = new TableOps(spark, root)
+    ops.create("t", (1L to 100L).toDF("id").withColumn("v", lit(1.0)).coalesce(2))
+    ops.insert("t", (200L to 299L).toDF("id").withColumn("v", lit(2.0)).coalesce(2))
+    ops.insert("t", (400L to 499L).toDF("id").withColumn("v", lit(3.0)).coalesce(2))
+    // lazy ADD: compaction must materialize the fill in the packed files
+    ops.addColumn("t", "tag", "'x'")
+    val vPre = ops.currentVersion("t")
+    val beforeState = ops.read("t").select("id", "v", "tag")
+      .as[(Long, Double, String)].collect().toSet
+    val beforeFiles = dataFiles(root, "t")
+    assert(beforeFiles.size == 6)
+
+    val vC = ops.compactTable("t") // default 128 MB target: all are small
+    assert(vC == vPre + 1)
+    val afterState = ops.read("t").select("id", "v", "tag")
+      .as[(Long, Double, String)].collect().toSet
+    assert(afterState == beforeState, "compaction changed the data")
+    // the new version reads exactly ONE consolidated file
+    val newFiles = dataFiles(root, "t") -- beforeFiles
+    assert(newFiles.size == 1, s"expected 1 packed file, got ${newFiles.size}")
+    // old files still on disk: prior versions keep reading them
+    assert(beforeFiles.subsetOf(dataFiles(root, "t")))
+    assert(ops.readVersion("t", vPre).count() == 300)
+    // idempotent: a single at-target file-set has nothing to bin-pack
+    assert(ops.compactTable("t") == vC)
+    // expire reclaims the superseded small files
+    val (_, deleted) = ops.expire("t", 1)
+    assert(deleted == 6, s"expire should reclaim the 6 small files, got $deleted")
+    assert(ops.read("t").select("id", "v", "tag")
+      .as[(Long, Double, String)].collect().toSet == beforeState)
+  }
+
+  test("sort-clustered compaction: disjoint file ranges make later mutations prune") {
+    val root = TestSpark.tmpDir("graft-tables-sortcompact")
+    val ops = new TableOps(spark, root)
+    // interleaved inserts: every file spans the whole key range, so BEFORE
+    // clustering a narrow-range update must rewrite everything
+    ops.create("t", (1L to 400L by 4).toDF("id").withColumn("v", lit(1.0)).coalesce(1))
+    ops.insert("t", (2L to 400L by 4).toDF("id").withColumn("v", lit(1.0)).coalesce(1))
+    ops.insert("t", (3L to 400L by 4).toDF("id").withColumn("v", lit(1.0)).coalesce(1))
+    ops.insert("t", (4L to 400L by 4).toDF("id").withColumn("v", lit(1.0)).coalesce(1))
+    val beforeState = ops.read("t").select("id", "v").as[(Long, Double)]
+      .collect().toSet
+
+    // cluster on id into ~4 range files (tiny target forces the split)
+    val vC = ops.compactTable("t", targetFileBytes = 2048, sortBy = Seq("id"))
+    assert(vC == 4)
+    assert(ops.read("t").select("id", "v").as[(Long, Double)]
+      .collect().toSet == beforeState, "sorted compaction changed the data")
+    val clustered = dataFiles(root, "t").filter(_.contains(s"/v$vC-"))
+    assert(clustered.size >= 3, s"expected >=3 range files, got ${clustered.size}")
+
+    // the payoff: a narrow-range update rewrites ONLY the file(s) whose
+    // min/max overlap the predicate — the rest are carried untouched
+    ops.update("t", $"id" <= 20L, "v", lit(2.0))
+    val after = dataFiles(root, "t")
+    val untouched = clustered.count(after.contains)
+    assert(untouched >= clustered.size - 1,
+      s"narrow update rewrote ${clustered.size - untouched} of ${clustered.size} " +
+        "clustered files — range pruning did not land")
+    assert(ops.read("t").filter($"v" === 2.0).count() == 20)
   }
 
   test("views: late-binding over the managed table; drop + replace semantics") {
