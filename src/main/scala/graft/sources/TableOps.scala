@@ -44,8 +44,12 @@ final class TableOps(spark: SparkSession, root: String) {
     * columns added since they were written (filled on read, in order). */
   private case class Group(paths: Seq[String], fills: ListMap[String, String])
 
-  /** columns = the version's logical projection (drops = absence). */
-  private case class VersionManifest(columns: Seq[String], groups: Seq[Group])
+  /** columns = the version's logical projection (drops = absence);
+    * props = commit-carried key/value metadata (e.g. per-source ingest
+    * watermarks for idempotent streaming writes), inherited by later
+    * versions until overwritten. */
+  private case class VersionManifest(columns: Seq[String], groups: Seq[Group],
+      props: Map[String, String] = Map.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -155,6 +159,10 @@ final class TableOps(spark: SparkSession, root: String) {
       val f = g.putObject("fills")
       fills.foreach { case (c, sql) => f.put(c, sql) }
     }
+    if (m.props.nonEmpty) {
+      val pr = rootNode.putObject("props")
+      m.props.foreach { case (k, value) => pr.put(k, value) }
+    }
     atomicWrite(manifestPath(table, v),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(rootNode))
   }
@@ -174,7 +182,12 @@ final class TableOps(spark: SparkSession, root: String) {
       while (it.hasNext) { val k = it.next(); fills += k -> g.get("fills").get(k).asText() }
       Group(paths, fills)
     }
-    VersionManifest(columns, groups)
+    var props = Map.empty[String, String]
+    if (n.has("props")) {
+      val it = n.get("props").fieldNames()
+      while (it.hasNext) { val k = it.next(); props += k -> n.get("props").get(k).asText() }
+    }
+    VersionManifest(columns, groups, props)
   }
 
   /** Write `df` as immutable files under a fresh uuid dir; returns the
@@ -225,6 +238,29 @@ final class TableOps(spark: SparkSession, root: String) {
     require(v >= 0, s"table $table does not exist under $root")
     val next = v + 1
     commitVersion(table, next, applyInsert(table, next, readManifest(table, v), rows))
+    next
+  }
+
+  /** Idempotent INSERT for exactly-once streaming ingest (the Delta-style
+    * txn appId/version discipline): each ingest source carries a
+    * monotonically increasing batch version (Structured Streaming's
+    * batchId); the committed manifest records the highest applied version
+    * per source in its props, IN THE SAME atomic commit as the data — so
+    * a replayed batch (foreachBatch re-delivers after any failure) is
+    * detected against the manifest and skipped, never double-inserted.
+    * Returns the table version holding the batch (current version if the
+    * batch was already applied). */
+  def insertIdempotent(table: String, rows: DataFrame, sourceId: String,
+      batchVersion: Long): Long = {
+    val v = currentVersion(table)
+    require(v >= 0, s"table $table does not exist under $root")
+    val m = readManifest(table, v)
+    val key = s"ingest.$sourceId"
+    if (m.props.get(key).exists(_.toLong >= batchVersion)) return v // replay
+    val next = v + 1
+    val m2 = applyInsert(table, next, m, rows)
+    commitVersion(table, next,
+      m2.copy(props = m2.props + (key -> batchVersion.toString)))
     next
   }
 
@@ -314,6 +350,11 @@ final class TableOps(spark: SparkSession, root: String) {
       work = applyMutate(table, next, work, cond,
         df => df.filter(!coalesce(cond, lit(false))))
 
+    /** MERGE inside the transaction (see TableOps.merge): upsert staged
+      * against the working state, published with the rest of the tx. */
+    def merge(source: DataFrame, key: String, setCols: Seq[String]): Unit =
+      work = applyMerge(table, next, work, source, key, setCols)
+
     /** The transaction's current working state (uncommitted read-your-writes
       * view; other readers cannot see it). */
     def read(): DataFrame = {
@@ -361,7 +402,14 @@ final class TableOps(spark: SparkSession, root: String) {
     val v = currentVersion(table)
     require(v >= 0, s"table $table does not exist under $root")
     val next = v + 1
-    val m = readManifest(table, v)
+    val m2 = applyMerge(table, next, readManifest(table, v), source, key, setCols)
+    require(m2.groups.nonEmpty, s"merge would leave $table with no files")
+    commitVersion(table, next, m2)
+    next
+  }
+
+  private def applyMerge(table: String, next: Long, m: VersionManifest,
+      source: DataFrame, key: String, setCols: Seq[String]): VersionManifest = {
     require(m.columns.contains(key), s"no key column $key in $table")
     require(setCols.forall(m.columns.contains),
       s"setCols ${setCols.filterNot(m.columns.contains)} not in $table")
@@ -401,9 +449,7 @@ final class TableOps(spark: SparkSession, root: String) {
     val toWrite = updated.map(_.unionByName(inserts)).getOrElse(inserts)
     val files = writeData(table, next, toWrite)
     val groups = if (files.nonEmpty) kept :+ Group(files, ListMap.empty) else kept
-    require(groups.nonEmpty, s"merge would leave $table with no files")
-    commitVersion(table, next, m.copy(groups = groups))
-    next
+    m.copy(groups = groups)
   }
 
   /** Table-file compaction — the missing half of the O(new rows) insert

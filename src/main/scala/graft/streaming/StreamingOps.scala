@@ -214,6 +214,26 @@ object StreamingOps {
     spark.table(name)
   }
 
+  /** Continuous ingest into a managed TableOps table with EXACTLY-ONCE
+    * semantics — the bridge between the streaming surface and the
+    * snapshot-table layer (what a landing pipeline actually runs). Each
+    * micro-batch becomes one atomic manifest commit via
+    * TableOps.insertIdempotent: the batchId is recorded in the committed
+    * manifest's props in the same atomic commit as the data, so a replayed
+    * batch (foreachBatch re-delivers after any failure or restart) is
+    * detected and skipped — the Delta txn-version discipline, not
+    * at-least-once-plus-hope. Blocks until the finite input drains. */
+  def ingestToTable(spark: SparkSession, stream: DataFrame,
+      ops: graft.sources.TableOps, table: String, sourceId: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ops.insertIdempotent(table, batch, sourceId, batchId)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   private val runCounter = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -254,6 +274,30 @@ object StreamingOps {
         .orderBy(col("event_id"))
     }),
 
+    // --- streaming ingest → managed table, exactly-once (foreachBatch +
+    //     idempotent manifest commits). The ENTIRE stream is then replayed
+    //     from a fresh checkpoint (batchIds restart at 0 over the same
+    //     landing files ⇒ the same batch sequence): every replayed batch is
+    //     skipped against the manifest's recorded ingest version, so the
+    //     table holds each event exactly once — which is what the oracle
+    //     checks.
+    "q89_stream_ingest" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft-ingest-" +
+        d.replaceAll("[^a-zA-Z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val ops = new graft.sources.TableOps(s, root)
+      val cols = Seq(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      ops.create("t", s.read.parquet(s"$d/events.parquet")
+        .select(cols: _*).limit(0).coalesce(1)) // empty seed fixes the schema
+      val staged = stagedEvents(s, d)
+      def src = s.readStream.schema(eventsSchema(s, d))
+        .parquet(s"$staged/in").select(cols: _*)
+      ingestToTable(s, src, ops, "t", "events")
+      ingestToTable(s, src, ops, "t", "events") // full replay: all skipped
+      ops.read("t").orderBy(col("event_id"))
+    }),
+
     "q68_sessionize" -> ((s, d) => {
       import s.implicits._
       val events = s.read.parquet(s"$d/events.parquet")
@@ -281,6 +325,9 @@ object StreamingOps {
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
         |ORDER BY click_id, purchase_id""".stripMargin,
     "q87_stream_dedup" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q89_stream_ingest" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
     "q68_sessionize" ->

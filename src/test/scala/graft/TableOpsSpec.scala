@@ -373,6 +373,38 @@ class TableOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("idempotent ingest: a replayed batch is skipped, the ingest watermark survives other commits") {
+    val root = TestSpark.tmpDir("graft-tables-ingest")
+    val ops = new TableOps(spark, root)
+    ops.create("t", Seq((0L, 0.0)).toDF("id", "v"))
+    assert(ops.insertIdempotent("t", Seq((1L, 1.0)).toDF("id", "v"), "src", 0L) == 1)
+    // exact replay of batch 0: skipped, no version published
+    assert(ops.insertIdempotent("t", Seq((1L, 1.0)).toDF("id", "v"), "src", 0L) == 1)
+    assert(ops.currentVersion("t") == 1 && ops.read("t").count() == 2)
+    // an unrelated commit in between must not lose the recorded watermark
+    ops.insert("t", Seq((50L, 5.0)).toDF("id", "v"))
+    assert(ops.insertIdempotent("t", Seq((1L, 1.0)).toDF("id", "v"), "src", 0L) == 2,
+      "replay after an unrelated commit was not skipped")
+    // the next batch applies; an independent source has its own watermark
+    assert(ops.insertIdempotent("t", Seq((2L, 2.0)).toDF("id", "v"), "src", 1L) == 3)
+    assert(ops.insertIdempotent("t", Seq((3L, 3.0)).toDF("id", "v"), "other", 0L) == 4)
+    assert(ops.read("t").count() == 5)
+  }
+
+  test("merge inside a transaction stages against the working state, atomic with the rest") {
+    val root = TestSpark.tmpDir("graft-tables-txmerge")
+    val ops = new TableOps(spark, root)
+    ops.create("t", Seq((1L, 1.0), (2L, 1.0)).toDF("id", "v"))
+    ops.tx("t") { tx =>
+      tx.insert(Seq((3L, 1.0)).toDF("id", "v"))
+      // merge sees the in-tx insert: key 3 matches (update), key 4 inserts
+      tx.merge(Seq((3L, 9.0), (4L, 9.0)).toDF("id", "v"), "id", Seq("v"))
+    }
+    assert(ops.currentVersion("t") == 1)
+    val m = ops.read("t").as[(Long, Double)].collect().toMap
+    assert(m == Map(1L -> 1.0, 2L -> 1.0, 3L -> 9.0, 4L -> 9.0))
+  }
+
   test("compaction bin-packs small files; data identical; time travel + expire intact") {
     val root = TestSpark.tmpDir("graft-tables-compact")
     val ops = new TableOps(spark, root)
