@@ -420,7 +420,11 @@ final class TableOps(spark: SparkSession, root: String) {
     val srcKeys = src.select(col(key))
     var kept = Seq.empty[Group]
     var hitDfs = Seq.empty[DataFrame]
-    m.groups.foreach { g =>
+    // insert-only merge (no setCols): a matched row is a no-op, so skip
+    // the matched-file scan entirely — no file is rewritten, only the
+    // anti-join insert half runs
+    if (setCols.isEmpty) kept = m.groups
+    else m.groups.foreach { g =>
       var df = spark.read.parquet(g.paths.map(p => s"$root/$table/$p"): _*)
         .withColumn("__file", input_file_name())
       g.fills.foreach { case (c, sql) => df = df.withColumn(c, expr(sql)) }

@@ -371,6 +371,17 @@ class TableOpsSpec extends AnyFunSuite {
       ops.merge("t", Seq((1L, 1.0, "x"), (1L, 2.0, "y"))
         .toDF("id", "v", "tag"), "id", Seq("v"))
     }
+    // insert-only merge (no setCols): matched rows are no-ops, NO file is
+    // rewritten — only the unmatched row appends
+    val preIns = dataFiles(root, "t")
+    val nPre = ops.read("t").count()
+    ops.merge("t", Seq((50L, 0.0, "z"), (7777L, 1.0, "n"))
+      .toDF("id", "v", "tag"), "id", Seq.empty)
+    assert(preIns.subsetOf(dataFiles(root, "t")),
+      "insert-only merge rewrote an existing file")
+    assert(ops.read("t").count() == nPre + 1)
+    assert(ops.read("t").filter($"id" === 50L).select("v")
+      .as[Double].collect().head == 1.0, "insert-only merge changed a matched row")
   }
 
   test("idempotent ingest: a replayed batch is skipped, the ingest watermark survives other commits") {
