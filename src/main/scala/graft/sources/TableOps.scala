@@ -7,8 +7,10 @@ import scala.collection.immutable.ListMap
 import com.fasterxml.jackson.databind.ObjectMapper
 
 /** Snapshot-style managed parquet tables with FILE-LEVEL commits: create /
-  * insert / delete / update / lazy ALTER ADD+DROP COLUMN, all as atomic
-  * manifest swaps over immutable data files.
+  * insert / delete / update / MERGE upsert / lazy ALTER ADD+DROP COLUMN /
+  * multi-operation transactions (tx) / idempotent streaming ingest /
+  * bin-pack + sort-clustered compaction / expire + vacuum lifecycle /
+  * named views — all as atomic manifest swaps over immutable data files.
   *
   * Reference parity (SURVEY.md §2.1 Insert/Update/Delete,
   * logical_operators.h:718,929,995; the fork's lazy schema change,
