@@ -357,6 +357,15 @@ final class TableOps(spark: SparkSession, root: String) {
     def merge(source: DataFrame, key: String, setCols: Seq[String]): Unit =
       work = applyMerge(table, next, work, source, key, setCols)
 
+    /** Lazy ALTERs inside the transaction — DDL composes with DML in one
+      * atomic commit (add a column, backfill it with update(), publish
+      * both together). */
+    def addColumn(name: String, defaultSql: String): Unit =
+      work = applyAddColumn(work, name, defaultSql)
+
+    def dropColumn(name: String): Unit =
+      work = applyDropColumn(work, name)
+
     /** The transaction's current working state (uncommitted read-your-writes
       * view; other readers cannot see it). */
     def read(): DataFrame = {
@@ -372,7 +381,11 @@ final class TableOps(spark: SparkSession, root: String) {
     * Any exception (including rollback()) aborts — no version is published
     * and the table is unchanged. The commit itself is the same OCC claim as
     * single operations: a concurrent committed writer makes the whole
-    * transaction fail with ConcurrentCommitException (retry = rerun tx()). */
+    * transaction fail with ConcurrentCommitException (retry = rerun tx()).
+    * Scope: ONE table — atomicity across tables would need a catalog-level
+    * current pointer (one version file naming every table's version, the
+    * Iceberg/Nessie multi-table-commit model); a declared boundary, not an
+    * accident. */
   def tx(table: String)(body: Transaction => Unit): Long = {
     val v = currentVersion(table)
     require(v >= 0, s"table $table does not exist under $root")
@@ -524,11 +537,19 @@ final class TableOps(spark: SparkSession, root: String) {
     val v = currentVersion(table)
     require(v >= 0, s"table $table does not exist under $root")
     val next = v + 1
-    val m = readManifest(table, v)
-    require(!m.columns.contains(name), s"column $name already exists")
-    commitVersion(table, next, VersionManifest(m.columns :+ name,
-      m.groups.map(g => g.copy(fills = g.fills + (name -> defaultSql)))))
+    commitVersion(table, next,
+      applyAddColumn(readManifest(table, v), name, defaultSql))
     next
+  }
+
+  // copy (not a fresh VersionManifest): props — e.g. recorded ingest batch
+  // watermarks — must survive a schema change, or a post-ALTER streaming
+  // replay would double-insert
+  private def applyAddColumn(m: VersionManifest, name: String,
+      defaultSql: String): VersionManifest = {
+    require(!m.columns.contains(name), s"column $name already exists")
+    m.copy(columns = m.columns :+ name,
+      groups = m.groups.map(g => g.copy(fills = g.fills + (name -> defaultSql))))
   }
 
   /** ANALYZE TABLE: per-column statistics — row count, null count, exact
@@ -593,11 +614,14 @@ final class TableOps(spark: SparkSession, root: String) {
     val v = currentVersion(table)
     require(v >= 0, s"table $table does not exist under $root")
     val next = v + 1
-    val m = readManifest(table, v)
-    require(m.columns.contains(name), s"no column $name in $table")
-    commitVersion(table, next, VersionManifest(m.columns.filterNot(_ == name),
-      m.groups.map(g => g.copy(fills = g.fills - name))))
+    commitVersion(table, next, applyDropColumn(readManifest(table, v), name))
     next
+  }
+
+  private def applyDropColumn(m: VersionManifest, name: String): VersionManifest = {
+    require(m.columns.contains(name), s"no column $name — cannot drop")
+    m.copy(columns = m.columns.filterNot(_ == name),
+      groups = m.groups.map(g => g.copy(fills = g.fills - name)))
   }
 
   /** Recursively delete a file or directory tree (e.g. a `_temporary` dir

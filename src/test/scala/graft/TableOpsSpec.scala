@@ -402,6 +402,37 @@ class TableOpsSpec extends AnyFunSuite {
     assert(ops.read("t").count() == 5)
   }
 
+  test("ingest watermark survives ALTER: a post-schema-change replay is still skipped") {
+    val root = TestSpark.tmpDir("graft-tables-ingestalter")
+    val ops = new TableOps(spark, root)
+    ops.create("t", Seq((0L, 0.0)).toDF("id", "v"))
+    ops.insertIdempotent("t", Seq((1L, 1.0)).toDF("id", "v"), "src", 0L)
+    // the old addColumn built a FRESH manifest and silently dropped props —
+    // a replay after a schema change would then double-insert
+    ops.addColumn("t", "tag", "'x'")
+    val vAfter = ops.currentVersion("t")
+    assert(ops.insertIdempotent("t", Seq((1L, 1.0, "x")).toDF("id", "v", "tag"),
+      "src", 0L) == vAfter, "replay after ALTER was not skipped")
+    assert(ops.read("t").count() == 2)
+  }
+
+  test("DDL inside a transaction: add + backfill + publish atomically") {
+    val root = TestSpark.tmpDir("graft-tables-txddl")
+    val ops = new TableOps(spark, root)
+    ops.create("t", Seq((1L, 10.0), (2L, 200.0)).toDF("id", "v"))
+    ops.tx("t") { tx =>
+      tx.addColumn("band", "'unknown'")
+      tx.update($"v" > 100.0, "band", lit("high")) // backfill in the same tx
+      tx.dropColumn("v")
+    }
+    assert(ops.currentVersion("t") == 1)
+    assert(ops.read("t").columns.toSeq == Seq("id", "band"))
+    val m = ops.read("t").as[(Long, String)].collect().toMap
+    assert(m == Map(1L -> "unknown", 2L -> "high"))
+    // pre-tx snapshot unchanged: old schema, no band
+    assert(ops.readVersion("t", 0).columns.toSeq == Seq("id", "v"))
+  }
+
   test("merge inside a transaction stages against the working state, atomic with the rest") {
     val root = TestSpark.tmpDir("graft-tables-txmerge")
     val ops = new TableOps(spark, root)
