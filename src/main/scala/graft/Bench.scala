@@ -144,7 +144,7 @@ object Bench {
     val newOps = Seq("q79_dedup_components", "q81_stream_join",
       "q82_embedding_components", "q84_json_roundtrip",
       "q85_transaction", "q86_merge_upsert", "q87_stream_dedup",
-      "q88_compact", "q89_stream_ingest")
+      "q88_compact", "q89_stream_ingest", "q90_catalog_tx")
     val extras = newOps.map { name =>
       val fn = SparkEntry.queries(name)
       name -> (1 to 2).map(_ => secs { fn(spark, sfDir).count() }).min

@@ -776,6 +776,46 @@ object TpchQueries {
       ops.read("t").orderBy(col("o_orderkey"))
     }),
 
+    // --- MULTI-TABLE atomic transaction through the catalog snapshot
+    //     (reference transaction_manager.h: one txn spans every table it
+    //     touches — the TPC-C NewOrder shape; Spark-native = the
+    //     Iceberg/Nessie multi-table-commit: per-table staging, ONE catalog
+    //     flip as the atomic cut). An aborted cross-table tx first (must
+    //     leave both tables and the catalog untouched), then the real one:
+    //     update table A + append the audit rows to table B, visible
+    //     together-or-not-at-all to catalog readers. The output joins the
+    //     pair, so the oracle checks BOTH tables' post-state at once.
+    //     *2 is IEEE-exact.
+    "q90_catalog_tx" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft-dml-" +
+        d.replaceAll("[^a-zA-Z0-9]", "_") + "-q90"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val cat = new graft.sources.Catalog(s, root)
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      cat.tables.create("accts", o.filter(col("o_orderkey") < 500))
+      cat.tables.create("audit", s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new org.apache.spark.sql.types.StructType()
+          .add("o_orderkey", "long").add("note", "string")))
+      cat.register("accts"); cat.register("audit")
+      try cat.tx { tx =>
+        tx.on("accts").update(col("o_orderkey") < 100, "o_totalprice", lit(0.0))
+        tx.on("audit").insert(o.filter(col("o_orderkey") < 100)
+          .select(col("o_orderkey"), lit("never").as("note")))
+        tx.rollback()
+      } catch { case _: graft.sources.TableOps.TransactionAborted => () }
+      cat.tx { tx =>
+        tx.on("accts").update(col("o_orderkey") < 100, "o_totalprice",
+          col("o_totalprice") * 2)
+        tx.on("audit").insert(o.filter(col("o_orderkey") < 100)
+          .select(col("o_orderkey"), lit("doubled").as("note")))
+      }
+      cat.read("accts").join(cat.read("audit"), Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          coalesce(col("note"), lit("-")).as("note"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // --- table-file compaction (reference block_compactor.cpp folds hot
     //     blocks into cold contiguous blocks; Iceberg rewrite_data_files):
     //     four O(new rows) inserts accumulate small file-groups; compact
@@ -1160,6 +1200,13 @@ object TpchQueries {
     "q88_compact" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin,
+    "q90_catalog_tx" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey < 100 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  CASE WHEN o_orderkey < 100 THEN 'doubled' ELSE '-' END AS note
+        |FROM orders WHERE o_orderkey < 500
+        |ORDER BY o_orderkey""".stripMargin,
     "q83_expire" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey < 100 THEN o_totalprice * 2

@@ -341,6 +341,10 @@ final class TableOps(spark: SparkSession, root: String) {
     private[TableOps] val next: Long = base + 1
     private[TableOps] var work: VersionManifest = readManifest(table, base)
 
+    /** The version this transaction will publish on commit (for the
+      * catalog's multi-table intent record). */
+    private[sources] def stagedVersion: Long = next
+
     def insert(rows: DataFrame): Unit =
       work = applyInsert(table, next, work, rows)
 
@@ -387,10 +391,23 @@ final class TableOps(spark: SparkSession, root: String) {
     * Iceberg/Nessie multi-table-commit model); a declared boundary, not an
     * accident. */
   def tx(table: String)(body: Transaction => Unit): Long = {
+    val t = begin(table)
+    body(t)
+    commitStaged(table, t)
+  }
+
+  /** Open a transaction without committing — the staging half of tx(),
+    * exposed package-privately so Catalog.tx can stage several tables and
+    * commit them under one catalog flip. */
+  private[sources] def begin(table: String): Transaction = {
     val v = currentVersion(table)
     require(v >= 0, s"table $table does not exist under $root")
-    val t = new Transaction(table, v)
-    body(t)
+    new Transaction(table, v)
+  }
+
+  /** Publish a staged transaction as one OCC version (the commit half of
+    * tx()); returns the committed version. */
+  private[sources] def commitStaged(table: String, t: Transaction): Long = {
     require(t.work.groups.nonEmpty, s"transaction would leave $table with " +
       "no files (delete of every row is expressed as create of the empty state)")
     commitVersion(table, t.next, t.work)
