@@ -34,7 +34,13 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * crash after some table commits leaves the catalog at the previous
   * consistent snapshot, and `recover()` completes the flip iff every
   * intended table version is durable (claim + manifest), else reports the
-  * intent for the operator — never a torn catalog. */
+  * intent for the operator — never a torn catalog.
+  *
+  * Lifecycle caveat: TableOps.expire() reasons about per-table history
+  * only; expiring a table version an OLD catalog snapshot still maps
+  * breaks readAt() for that snapshot (the standard Iceberg caveat —
+  * snapshot expiration bounds catalog time travel). Keep at least as many
+  * table versions as the catalog history you want replayable. */
 final class Catalog(spark: SparkSession, root: String) {
 
   /** The underlying per-table store (shared layout: catalog tables are
