@@ -509,10 +509,19 @@ final class TableOps(spark: SparkSession, root: String) {
     * every later file-level mutate/merge/scan with a predicate on those
     * columns touches only the files whose range matches. Costs one shuffle
     * (the point of doing it at compaction time, once, instead of per
-    * query). Returns the new version (or the current one if there was
-    * nothing to compact). */
+    * query).
+    *
+    * `zorder = true` (with ≥2 numeric sortBy columns — Delta's OPTIMIZE
+    * ZORDER BY) clusters on the Z-value instead: each column is min/max
+    * normalized to 16 bits and the bits INTERLEAVED into one key, so
+    * every output file covers a bounded range in EVERY listed dimension —
+    * footer stats then prune for predicates on any of them, where a
+    * lexicographic sort only ever prunes on its leading column. The
+    * interleave is a pure Catalyst expression fold (codegen'd, no UDF).
+    * Returns the new version (or the current one if there was nothing to
+    * compact). */
   def compactTable(table: String, targetFileBytes: Long = 128L * 1024 * 1024,
-      sortBy: Seq[String] = Nil): Long = {
+      sortBy: Seq[String] = Nil, zorder: Boolean = false): Long = {
     val v = currentVersion(table)
     require(v >= 0, s"table $table does not exist under $root")
     val m = readManifest(table, v)
@@ -521,8 +530,13 @@ final class TableOps(spark: SparkSession, root: String) {
     var smallBytes = 0L
     var nSmall = 0
     m.groups.foreach { g =>
-      val (big, sm) = g.paths.partition(p =>
-        Files.size(Paths.get(root, table, p)) >= targetFileBytes)
+      // bin-packing rewrites only sub-target files; CLUSTERING (sortBy)
+      // rewrites everything — a file already at target size is still in
+      // the wrong order (Delta's OPTIMIZE ZORDER rewrites all files)
+      val (big, sm) =
+        if (sortBy.nonEmpty) (Seq.empty[String], g.paths)
+        else g.paths.partition(p =>
+          Files.size(Paths.get(root, table, p)) >= targetFileBytes)
       if (big.nonEmpty) carried :+= Group(big, g.fills)
       if (sm.nonEmpty) {
         small :+= Group(sm, g.fills)
@@ -533,14 +547,42 @@ final class TableOps(spark: SparkSession, root: String) {
     if (nSmall <= 1 && sortBy.isEmpty) return v // nothing to bin-pack
     if (small.isEmpty) return v
     val next = v + 1
-    val nOut = math.max(1L, (smallBytes + targetFileBytes - 1) / targetFileBytes)
-      .min(nSmall.toLong).toInt
+    val byBytes = math.max(1L, (smallBytes + targetFileBytes - 1) / targetFileBytes)
+    // plain bin-packing never SPLITS (capped at the input file count);
+    // sort/z-order clustering may legitimately split one jumbled file
+    // into many range files
+    val nOut = (if (sortBy.isEmpty) byBytes.min(nSmall.toLong) else byBytes).toInt
     val unioned = small.map(readGroup(table, _, m.columns))
       .reduce(_.unionByName(_))
     val packed =
       if (sortBy.isEmpty) unioned.coalesce(nOut)
-      else unioned.repartitionByRange(nOut, sortBy.map(col): _*)
+      else if (!zorder) unioned.repartitionByRange(nOut, sortBy.map(col): _*)
         .sortWithinPartitions(sortBy.map(col): _*)
+      else {
+        require(sortBy.size >= 2, "zorder needs >= 2 columns (use plain sortBy for 1)")
+        // per-column min/max in one pass, then 16-bit normalize + interleave
+        val aggs = sortBy.flatMap(c => Seq(
+          min(col(c).cast("double")).as(s"${c}__mn"),
+          max(col(c).cast("double")).as(s"${c}__mx")))
+        val r = unioned.agg(aggs.head, aggs.tail: _*).head()
+        val Bits = 16
+        val normed = sortBy.map { c =>
+          val (mn, mx) = (r.getAs[Double](s"${c}__mn"), r.getAs[Double](s"${c}__mx"))
+          if (mx > mn) // constant column carries no information: z-bit 0
+            ((col(c).cast("double") - lit(mn)) / lit(mx - mn) * lit((1 << Bits) - 1))
+              .cast("long")
+          else lit(0L)
+        }
+        // interleave: bit i of column j lands at position i*dims + j
+        val zkey = (0 until Bits).flatMap(i => normed.zipWithIndex.map {
+          case (n, j) => shiftleft(shiftright(n, i).bitwiseAND(lit(1L)),
+            i * sortBy.size + j)
+        }).reduce(_ + _)
+        unioned.withColumn("__zkey", zkey)
+          .repartitionByRange(nOut, col("__zkey"))
+          .sortWithinPartitions(col("__zkey"))
+          .drop("__zkey")
+      }
     val files = writeData(table, next, packed)
     commitVersion(table, next, m.copy(groups =
       if (files.nonEmpty) carried :+ Group(files, ListMap.empty) else carried))

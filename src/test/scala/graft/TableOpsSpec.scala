@@ -12,6 +12,14 @@ class TableOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  /** Part-file NAMES the CURRENT version references (manifest view) —
+    * unlike dataFiles(), which also sees prior versions' immutable files
+    * still on disk for time travel. Names carry a write-uuid, so they are
+    * unique across versions; comparing names sidesteps file:// vs plain
+    * path formatting. */
+  private def liveNames(ops: TableOps, table: String): Set[String] =
+    ops.read(table).inputFiles.map(_.split('/').last).toSet
+
   private def dataFiles(root: String, table: String): Set[String] = {
     val base = java.nio.file.Paths.get(root, table, "data")
     if (!java.nio.file.Files.exists(base)) Set.empty
@@ -502,14 +510,55 @@ class TableOpsSpec extends AnyFunSuite {
     assert(clustered.size >= 3, s"expected >=3 range files, got ${clustered.size}")
 
     // the payoff: a narrow-range update rewrites ONLY the file(s) whose
-    // min/max overlap the predicate — the rest are carried untouched
+    // min/max overlap the predicate — the rest are CARRIED into the new
+    // manifest (liveFiles = what the current version references; plain
+    // on-disk presence would be vacuous, old versions keep their files)
     ops.update("t", $"id" <= 20L, "v", lit(2.0))
-    val after = dataFiles(root, "t")
-    val untouched = clustered.count(after.contains)
-    assert(untouched >= clustered.size - 1,
-      s"narrow update rewrote ${clustered.size - untouched} of ${clustered.size} " +
+    val live = liveNames(ops, "t")
+    val carried = clustered.count(c => live.contains(c.split('/').last))
+    assert(carried >= clustered.size - 1,
+      s"narrow update rewrote ${clustered.size - carried} of ${clustered.size} " +
         "clustered files — range pruning did not land")
     assert(ops.read("t").filter($"v" === 2.0).count() == 20)
+  }
+
+  test("z-order compaction: predicates on EITHER dimension prune files") {
+    val root = TestSpark.tmpDir("graft-tables-zorder")
+    val ops = new TableOps(spark, root)
+    // 2-D grid: every insert spans both dimensions fully, so before
+    // clustering nothing prunes on either
+    val grid = for { x <- 0L until 64L; y <- 0L until 64L } yield (x, y)
+    ops.create("t", grid.toDF("x", "y").withColumn("v", lit(1.0)).coalesce(1))
+    val before = ops.read("t").select("x", "y", "v").as[(Long, Long, Double)]
+      .collect().toSet
+
+    // the RLE-friendly grid compresses to ~2 KB, so a tiny target forces
+    // a real multi-file split
+    val vZ = ops.compactTable("t", targetFileBytes = 128,
+      sortBy = Seq("x", "y"), zorder = true)
+    assert(ops.read("t").select("x", "y", "v").as[(Long, Long, Double)]
+      .collect().toSet == before, "z-order compaction changed the data")
+    val zfiles = dataFiles(root, "t").filter(_.contains(s"/v$vZ-"))
+    assert(zfiles.size >= 8, s"need several z-files for pruning, got ${zfiles.size}")
+
+    // the z-property: a narrow slab in x AND a narrow slab in y each
+    // overlap only a strict subset of files. A lexicographic (x, y) sort
+    // prunes x-slabs but a y-slab overlaps EVERY file — z-order prunes
+    // both.
+    ops.update("t", $"x" < 8L, "v", lit(2.0))
+    val liveX = liveNames(ops, "t")
+    val carriedX = zfiles.count(z => liveX.contains(z.split('/').last))
+    assert(carriedX > 0 && carriedX < zfiles.size,
+      s"x-slab update pruned nothing or everything: $carriedX of ${zfiles.size}")
+    assert(ops.read("t").filter($"v" === 2.0).count() == 8 * 64)
+
+    ops.update("t", $"y" < 8L, "v", lit(3.0))
+    val liveY = liveNames(ops, "t")
+    val carriedY = zfiles.count(z => liveY.contains(z.split('/').last))
+    assert(carriedY > 0,
+      "y-slab update rewrote every z-file — the second dimension did not prune")
+    assert(ops.read("t").filter($"v" === 3.0).count() == 64 * 8)
+    assert(ops.read("t").filter($"v" === 2.0).count() == 8 * 56)
   }
 
   test("views: late-binding over the managed table; drop + replace semantics") {
