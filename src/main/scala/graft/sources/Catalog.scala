@@ -190,6 +190,25 @@ final class Catalog(spark: SparkSession, root: String) {
     // a crash before the finally leaves the intent on disk for recover()
   }
 
+  /** Catalog-history expiration (the catalog twin of TableOps.expire):
+    * drop every catalog snapshot older than the newest `keepVersions`
+    * (file + claim). Table manifests and data are NOT touched — run
+    * TableOps.expire per table afterwards, keeping at least the table
+    * versions the kept catalog window still maps (see the lifecycle
+    * caveat above). Returns the expired-snapshot count. */
+  def expireCatalog(keepVersions: Int): Int = {
+    require(keepVersions >= 1, "must keep at least the current snapshot")
+    val cur = currentCatalogVersion
+    require(cur >= 0, s"catalog is empty under $root")
+    val keepFrom = math.max(0L, cur - keepVersions + 1)
+    var n = 0
+    (0L until keepFrom).foreach { v =>
+      if (Files.deleteIfExists(catPath(v))) n += 1
+      Files.deleteIfExists(claimPath(v))
+    }
+    n
+  }
+
   /** Complete flips interrupted between the per-table commits and the
     * catalog pointer move: for each surviving intent whose EVERY intended
     * table version is durable (claim + manifest), apply the flip; intents

@@ -567,11 +567,17 @@ final class TableOps(spark: SparkSession, root: String) {
         val r = unioned.agg(aggs.head, aggs.tail: _*).head()
         val Bits = 16
         val normed = sortBy.map { c =>
-          val (mn, mx) = (r.getAs[Double](s"${c}__mn"), r.getAs[Double](s"${c}__mx"))
-          if (mx > mn) // constant column carries no information: z-bit 0
-            ((col(c).cast("double") - lit(mn)) / lit(mx - mn) * lit((1 << Bits) - 1))
-              .cast("long")
-          else lit(0L)
+          // boxed reads: an all-NULL or non-castable column has null
+          // min/max — it carries no order information, z-bits 0 (same as
+          // a constant column), rather than an unboxing NPE
+          val mn = Option(r.getAs[java.lang.Double](s"${c}__mn")).map(_.doubleValue)
+          val mx = Option(r.getAs[java.lang.Double](s"${c}__mx")).map(_.doubleValue)
+          (mn, mx) match {
+            case (Some(lo), Some(hi)) if hi > lo =>
+              ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit((1 << Bits) - 1))
+                .cast("long")
+            case _ => lit(0L)
+          }
         }
         // interleave: bit i of column j lands at position i*dims + j
         val zkey = (0 until Bits).flatMap(i => normed.zipWithIndex.map {

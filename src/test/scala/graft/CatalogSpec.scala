@@ -52,6 +52,13 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.read("log").count() == 2)
     // staged orphans from the abort are vacuumable
     assert(cat.tables.vacuum("acct", 0L) + cat.tables.vacuum("log", 0L) >= 1)
+
+    // catalog-history expiration: old snapshots become unreadable, the
+    // current one (and the tables) are untouched
+    assert(cat.expireCatalog(1) == cv1.toInt)
+    intercept[IllegalArgumentException] { cat.readAt(cv0, "acct") }
+    assert(cat.read("acct").count() == 2 && cat.read("log").count() == 2)
+    assert(cat.expireCatalog(1) == 0) // idempotent
   }
 
   test("crash between table commits and the flip: catalog stays consistent, recover() completes") {
