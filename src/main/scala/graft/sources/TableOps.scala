@@ -209,6 +209,33 @@ final class TableOps(spark: SparkSession, root: String) {
     df.select(columns.map(col): _*)
   }
 
+  /** DROP TABLE: remove the table's whole directory — manifests, claims,
+    * stats, data, staging. Irreversible (time travel included); views over
+    * the table are left dangling and fail on read with "does not exist",
+    * the standard late-binding-view behavior. */
+  def dropTable(table: String): Unit = {
+    val dir = Paths.get(root, table)
+    require(Files.exists(dir) && currentVersion(table) >= 0,
+      s"table $table does not exist under $root")
+    deleteRecursively(dir)
+    ()
+  }
+
+  /** TRUNCATE: one commit to the empty state with the current schema —
+    * rows gone, history kept (old snapshots still read; expire() reclaims
+    * them). The O(1) path for "delete every row", vs delete(lit(true))
+    * which the no-empty-manifest guard rejects by design. */
+  def truncate(table: String): Long = {
+    val v = currentVersion(table)
+    require(v >= 0, s"table $table does not exist under $root")
+    val next = v + 1
+    val m = readManifest(table, v)
+    val empty = readVersion(table, v).limit(0).coalesce(1)
+    val files = writeData(table, next, empty)
+    commitVersion(table, next, m.copy(groups = Seq(Group(files, ListMap.empty))))
+    next
+  }
+
   def create(table: String, df: DataFrame): Long = {
     val v = currentVersion(table) + 1
     val files = writeData(table, v, df)

@@ -392,6 +392,27 @@ class TableOpsSpec extends AnyFunSuite {
       .as[Double].collect().head == 1.0, "insert-only merge changed a matched row")
   }
 
+  test("truncate commits the empty state; drop removes the table entirely") {
+    val root = TestSpark.tmpDir("graft-tables-dropdir")
+    val ops = new TableOps(spark, root)
+    ops.create("t", Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    val vT = ops.truncate("t")
+    assert(ops.read("t").count() == 0)
+    assert(ops.read("t").columns.toSeq == Seq("id", "name"), "truncate lost the schema")
+    assert(ops.readVersion("t", vT - 1).count() == 2, "truncate destroyed history")
+    // the table still accepts writes
+    ops.insert("t", Seq((3L, "c")).toDF("id", "name"))
+    assert(ops.read("t").count() == 1)
+
+    ops.dropTable("t")
+    intercept[IllegalArgumentException] { ops.read("t") }
+    intercept[IllegalArgumentException] { ops.dropTable("t") } // gone
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "t")))
+    // a dangling view fails on read, create can reuse the name
+    ops.create("t", Seq((9L, "z")).toDF("id", "name"))
+    assert(ops.read("t").count() == 1 && ops.currentVersion("t") == 0)
+  }
+
   test("idempotent ingest: a replayed batch is skipped, the ingest watermark survives other commits") {
     val root = TestSpark.tmpDir("graft-tables-ingest")
     val ops = new TableOps(spark, root)
