@@ -121,6 +121,19 @@ final class Catalog(spark: SparkSession, root: String) {
     next
   }
 
+  /** Remove a table from the catalog's namespace (a new catalog snapshot
+    * without it); the table itself and its history are untouched —
+    * dropping the data is TableOps.dropTable's job, after unregistering. */
+  def unregister(table: String): Long = {
+    val cv = currentCatalogVersion
+    require(cv >= 0, s"catalog is empty under $root")
+    val base = readCat(cv)
+    require(base.contains(table), s"table $table is not in the catalog")
+    val next = cv + 1
+    commitCat(next, base - table)
+    next
+  }
+
   def tableVersion(table: String): Long = {
     val cv = currentCatalogVersion
     require(cv >= 0, s"catalog is empty under $root")

@@ -59,6 +59,14 @@ class CatalogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { cat.readAt(cv0, "acct") }
     assert(cat.read("acct").count() == 2 && cat.read("log").count() == 2)
     assert(cat.expireCatalog(1) == 0) // idempotent
+
+    // unregister removes the NAME, not the table; the pre-unregister
+    // snapshot still maps it (catalog time travel)
+    val cvU = cat.unregister("log")
+    intercept[IllegalArgumentException] { cat.read("log") }
+    assert(cat.readAt(cvU - 1, "log").count() == 2)
+    assert(cat.tables.read("log").count() == 2, "unregister touched the table")
+    intercept[IllegalArgumentException] { cat.unregister("log") }
   }
 
   test("crash between table commits and the flip: catalog stays consistent, recover() completes") {
