@@ -134,6 +134,12 @@ final class Catalog(spark: SparkSession, root: String) {
     next
   }
 
+  /** Tables the CURRENT catalog snapshot maps, with their versions. */
+  def listTables(): Map[String, Long] = {
+    val cv = currentCatalogVersion
+    if (cv < 0) Map.empty else readCat(cv)
+  }
+
   def tableVersion(table: String): Long = {
     val cv = currentCatalogVersion
     require(cv >= 0, s"catalog is empty under $root")

@@ -209,6 +209,17 @@ final class TableOps(spark: SparkSession, root: String) {
     df.select(columns.map(col): _*)
   }
 
+  /** Tables under this root (dirs with at least one committed version). */
+  def listTables(): Seq[String] = {
+    val r = Paths.get(root)
+    if (!Files.exists(r)) Seq.empty
+    else listDir(r).filter(Files.isDirectory(_))
+      .map(_.getFileName.toString)
+      .filterNot(_.startsWith("_"))
+      .filter(t => currentVersion(t) >= 0)
+      .sorted
+  }
+
   /** DROP TABLE: remove the table's whole directory — manifests, claims,
     * stats, data, staging. Irreversible (time travel included); views over
     * the table are left dangling and fail on read with "does not exist",

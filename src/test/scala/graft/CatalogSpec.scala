@@ -62,7 +62,9 @@ class CatalogSpec extends AnyFunSuite {
 
     // unregister removes the NAME, not the table; the pre-unregister
     // snapshot still maps it (catalog time travel)
+    assert(cat.listTables().keySet == Set("acct", "log"))
     val cvU = cat.unregister("log")
+    assert(cat.listTables().keySet == Set("acct"))
     intercept[IllegalArgumentException] { cat.read("log") }
     assert(cat.readAt(cvU - 1, "log").count() == 2)
     assert(cat.tables.read("log").count() == 2, "unregister touched the table")

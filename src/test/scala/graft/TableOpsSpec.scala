@@ -404,7 +404,9 @@ class TableOpsSpec extends AnyFunSuite {
     ops.insert("t", Seq((3L, "c")).toDF("id", "name"))
     assert(ops.read("t").count() == 1)
 
+    assert(ops.listTables() == Seq("t"))
     ops.dropTable("t")
+    assert(ops.listTables().isEmpty)
     intercept[IllegalArgumentException] { ops.read("t") }
     intercept[IllegalArgumentException] { ops.dropTable("t") } // gone
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "t")))
