@@ -424,10 +424,9 @@ final class TableOps(spark: SparkSession, root: String) {
     * and the table is unchanged. The commit itself is the same OCC claim as
     * single operations: a concurrent committed writer makes the whole
     * transaction fail with ConcurrentCommitException (retry = rerun tx()).
-    * Scope: ONE table — atomicity across tables would need a catalog-level
-    * current pointer (one version file naming every table's version, the
-    * Iceberg/Nessie multi-table-commit model); a declared boundary, not an
-    * accident. */
+    * Scope: ONE table — for atomicity ACROSS tables use Catalog.tx, which
+    * stages several of these transactions and publishes them under one
+    * catalog-pointer flip (the Iceberg/Nessie multi-table-commit model). */
   def tx(table: String)(body: Transaction => Unit): Long = {
     val t = begin(table)
     body(t)
