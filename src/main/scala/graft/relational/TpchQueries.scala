@@ -426,6 +426,29 @@ object TpchQueries {
       ops.read("t").orderBy(col("o_orderkey"))
     }),
 
+    // --- IndexScan over a managed table (reference index_iterator.cpp /
+    //     bwtree_index.h: a selective key predicate reaches only matching
+    //     blocks): the table is laid out as ranged files whose per-file
+    //     min/max stats live in the MANIFEST, so scanWhere plans the
+    //     point+range lookup from metadata and opens only the files whose
+    //     key range can match — the pruning itself is pinned in
+    //     TableOpsSpec (df.inputFiles); here the RESULT is oracle-checked.
+    "q91_point_lookup" -> ((s, d) => {
+      val ops = freshTable(s, d, "q91")
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      ops.create("t", o.filter(col("o_orderkey") < 1000).coalesce(1))
+      (1 to 3).foreach { k =>
+        ops.insert("t", o.filter(col("o_orderkey") >= k * 1000 &&
+          col("o_orderkey") < (k + 1) * 1000).coalesce(1))
+      }
+      val maxKey = o.filter(col("o_orderkey") < 1000)
+        .agg(max(col("o_orderkey"))).head().getLong(0)
+      ops.scanWhere("t", col("o_orderkey") === maxKey ||
+          (col("o_orderkey") >= 2000 && col("o_orderkey") <= 2100))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // --- sketch aggregates (reference optimizer statistics sketches:
     //     hyperloglog.h:23, count_min_sketch.h:25, top_k_elements.h:31).
     //     The HLL estimate itself is engine-specific, so the pinned output
@@ -759,6 +782,34 @@ object TpchQueries {
       ops.read("t").orderBy(col("o_orderkey"))
     }),
 
+    // --- the SQL front door (entry point A, reference
+    //     traffic_cop.cpp:248-258: statements arrive as SQL strings and
+    //     are dispatched to the engine): the EXACT q85 transaction
+    //     sequence — aborted probe tx, then insert+update+delete as one
+    //     atomic commit — driven purely through SQL statement strings
+    //     against the snapshot-table layer, checked by the same oracle.
+    "q92_sql_session" -> ((s, d) => {
+      val ops = freshTable(s, d, "q92")
+      val sqlDoor = new graft.sources.GraftSql(s, ops)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .createOrReplaceTempView("orders_q92")
+      sqlDoor.exec("CREATE TABLE t AS SELECT * FROM orders_q92 WHERE o_orderkey < 1000")
+      // aborted transaction: staged rows must never become visible
+      sqlDoor.exec("BEGIN")
+      sqlDoor.exec("INSERT INTO t SELECT * FROM orders_q92 " +
+        "WHERE o_orderkey >= 5000 AND o_orderkey < 5200")
+      sqlDoor.exec("ROLLBACK")
+      sqlDoor.exec("BEGIN")
+      sqlDoor.exec("INSERT INTO t SELECT * FROM orders_q92 " +
+        "WHERE o_orderkey >= 1000 AND o_orderkey < 1500")
+      sqlDoor.exec("UPDATE t SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_orderstatus = 'F'")
+      sqlDoor.exec("DELETE FROM t WHERE o_totalprice > 300000.0")
+      sqlDoor.exec("COMMIT")
+      sqlDoor.exec("SELECT * FROM t ORDER BY o_orderkey")
+    }),
+
     // --- MERGE INTO / upsert-by-key (reference Insert/InsertSelect +
     //     Update, logical_operators.h:718,801,995; the incremental-ingest
     //     shape): matched keys take the source's o_totalprice (file-pruned
@@ -842,21 +893,36 @@ object TpchQueries {
     //     are unchanged (the filter is conservative), so the oracle is the
     //     plain join. Plan asserted in QueryPlanSpec.
     "q65_bloom_join" -> ((s, d) => {
-      // Enabling the bloom filter is safe session-wide (the filter is
-      // conservative — results are identical); the merge hint forces a
-      // shuffle join so injection applies even at test scale, without
-      // touching the session broadcast threshold.
-      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
-      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-      val li = t(s, d, "lineitem")
-      val o = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT" &&
-        col("o_totalprice") > 200000.0)
-      li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"),
-          round(sum(col("l_extendedprice")), 2).as("volume"))
-        .orderBy(col("l_returnflag"))
+      // The injection thresholds are SCOPED to this query: set, force the
+      // logical optimization (queryExecution.optimizedPlan is a lazy val,
+      // so the injected filter is pinned into the plan), then restore the
+      // session confs — later queries in the same session run with the
+      // defaults, no hidden cross-query optimizer state. The merge hint
+      // forces a shuffle join so injection applies even at test scale,
+      // without touching the session broadcast threshold.
+      val keys = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      val saved = keys.map(k => k -> s.conf.getOption(k))
+      s.conf.set(keys(0), "true")
+      s.conf.set(keys(1), "100MB")
+      s.conf.set(keys(2), "0")
+      try {
+        val li = t(s, d, "lineitem")
+        val o = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 200000.0)
+        val q = li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice")), 2).as("volume"))
+          .orderBy(col("l_returnflag"))
+        q.queryExecution.optimizedPlan // optimize under the scoped confs
+        q
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
     })
   )
 
@@ -1200,6 +1266,25 @@ object TpchQueries {
     "q88_compact" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin,
+    "q91_point_lookup" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey < 4000
+        |  AND (o_orderkey = (SELECT max(o_orderkey) FROM orders
+        |                     WHERE o_orderkey < 1000)
+        |       OR o_orderkey BETWEEN 2000 AND 2100)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q92_sql_session" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey < 1500),
+        |upd AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM base)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd
+        |WHERE o_totalprice <= 300000.0
+        |ORDER BY o_orderkey""".stripMargin,
     "q90_catalog_tx" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey < 100 THEN o_totalprice * 2

@@ -1,0 +1,239 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SQL front door over the managed-table surface — entry-point-A parity
+  * with the reference's statement session (TrafficCop::ParseQuery,
+  * src/traffic_cop/traffic_cop.cpp:248-258: every statement class arrives
+  * as a SQL string and is dispatched to the engine). SELECT was already
+  * reachable through spark.sql (q60/q61); this class closes the rest:
+  * DML (INSERT/UPDATE/DELETE/MERGE), DDL (CREATE TABLE AS / ALTER ADD+DROP
+  * COLUMN / TRUNCATE / DROP TABLE / CREATE+DROP VIEW) and transaction
+  * control (BEGIN/COMMIT/ROLLBACK) against TableOps snapshot tables.
+  *
+  * Division of labor, deliberately Spark-first: everything EXPRESSION-
+  * shaped (predicates, set-expressions, VALUES rows, subqueries) is handed
+  * to Spark's own parser via expr()/spark.sql — this class only recognizes
+  * the statement SKELETON and dispatches to the snapshot layer, exactly
+  * the role the reference's traffic cop plays above its binder. Statement
+  * grammar (case-insensitive, one statement per call):
+  *
+  *   CREATE TABLE t AS <select>
+  *   INSERT INTO t <select>            | INSERT INTO t VALUES (...), (...)
+  *   UPDATE t SET c1 = e1[, c2 = e2 …] WHERE <cond>
+  *   DELETE FROM t WHERE <cond>
+  *   MERGE INTO t USING (<select>) ON k
+  *     [WHEN MATCHED THEN UPDATE SET c1[, c2 …]]
+  *     WHEN NOT MATCHED THEN INSERT ALL
+  *   ALTER TABLE t ADD COLUMN c DEFAULT <expr> | ALTER TABLE t DROP COLUMN c
+  *   TRUNCATE TABLE t | DROP TABLE t
+  *   CREATE [OR REPLACE] VIEW v AS <select> | DROP VIEW v
+  *   BEGIN | COMMIT | ROLLBACK
+  *   <select>  (managed tables referenced by name resolve to their
+  *              current snapshot; inside a transaction, to its
+  *              read-your-writes state)
+  *
+  * Transactions are the single-table TableOps.tx surface (the reference's
+  * Begin/Commit/Abort): BEGIN opens a lazy transaction bound to the first
+  * table a DML statement touches; COMMIT publishes ONE version; ROLLBACK
+  * (or a failed statement) discards the staged state. Cross-table
+  * atomicity stays with Catalog.tx — a SQL session binds to one table per
+  * transaction and says so loudly otherwise. */
+final class GraftSql(spark: SparkSession, val ops: TableOps) {
+
+  /** (table, staged transaction) while inside BEGIN…COMMIT. */
+  private var active: Option[(String, ops.Transaction)] = None
+
+  def inTransaction: Boolean = active.isDefined
+
+  private val CreateTableAs =
+    """(?is)^\s*CREATE\s+TABLE\s+(\w+)\s+AS\s+(.*)$""".r
+  private val InsertSelect =
+    """(?is)^\s*INSERT\s+INTO\s+(\w+)\s+(SELECT\b.*|WITH\b.*)$""".r
+  private val InsertValues =
+    """(?is)^\s*INSERT\s+INTO\s+(\w+)\s+VALUES\s+(.*)$""".r
+  private val Update =
+    """(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)\s+WHERE\s+(.*)$""".r
+  private val Delete =
+    """(?is)^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.*)$""".r
+  private val Merge =
+    ("""(?is)^\s*MERGE\s+INTO\s+(\w+)\s+USING\s+\((.*)\)\s+ON\s+(\w+)\s*""" +
+      """(?:WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+([\w\s,]*?)\s*)?""" +
+      """WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+ALL\s*$""").r
+  private val AlterAdd =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+DEFAULT\s+(.*)$""".r
+  private val AlterDrop =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*$""".r
+  private val Truncate = """(?is)^\s*TRUNCATE\s+TABLE\s+(\w+)\s*$""".r
+  private val DropTable = """(?is)^\s*DROP\s+TABLE\s+(\w+)\s*$""".r
+  private val CreateView =
+    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.*)$""".r
+  private val DropView = """(?is)^\s*DROP\s+VIEW\s+(\w+)\s*$""".r
+  private val Begin = """(?is)^\s*BEGIN\s*$""".r
+  private val Commit = """(?is)^\s*COMMIT\s*$""".r
+  private val Rollback = """(?is)^\s*ROLLBACK\s*$""".r
+
+  /** Execute one statement. SELECTs return their result; DML/DDL return a
+    * one-row (statement, table, version) acknowledgment (version -1 while
+    * the effect is staged inside an open transaction). */
+  def exec(sql: String): DataFrame = sql match {
+    case Begin() =>
+      require(active.isEmpty, "already in a transaction")
+      active = Some((null, null)) // bound lazily by the first DML statement
+      ack("BEGIN", "", -1L)
+    case Commit() =>
+      val (table, tx) = activeTx("COMMIT")
+      active = None
+      val v = if (table == null) -1L // empty transaction: nothing staged
+        else ops.commitStaged(table, tx)
+      ack("COMMIT", Option(table).getOrElse(""), v)
+    case Rollback() =>
+      activeTx("ROLLBACK")
+      active = None // staged files become vacuumable orphans
+      ack("ROLLBACK", "", -1L)
+
+    case CreateTableAs(table, select) =>
+      ack("CREATE TABLE", table, ops.create(table, runSelect(select)))
+    case InsertSelect(table, select) =>
+      // SQL INSERT matches the select list to the table POSITIONALLY
+      def rows() = {
+        val cols = tableColumns(table)
+        val df = runSelect(select)
+        require(df.columns.length == cols.length,
+          s"INSERT select list has ${df.columns.length} columns; " +
+            s"$table has ${cols.length}")
+        df.toDF(cols: _*)
+      }
+      dml(table, "INSERT", tx => tx.insert(rows()), () => ops.insert(table, rows()))
+    case InsertValues(table, values) =>
+      val cols = tableColumns(table)
+      def rows() = spark.sql(s"SELECT * FROM VALUES $values").toDF(cols: _*)
+      dml(table, "INSERT", tx => tx.insert(rows()), () => ops.insert(table, rows()))
+    case Update(table, sets, cond) =>
+      val pairs = splitTopLevel(sets).map { a =>
+        val i = a.indexOf('=')
+        require(i > 0, s"malformed SET assignment: $a")
+        (a.substring(0, i).trim, expr(a.substring(i + 1).trim))
+      }
+      require(pairs.nonEmpty, "UPDATE needs at least one assignment")
+      val c = expr(cond)
+      dml(table, "UPDATE",
+        tx => pairs.foreach { case (n, v) => tx.update(c, n, v) },
+        () =>
+          if (pairs.size == 1) ops.update(table, c, pairs.head._1, pairs.head._2)
+          // several assignments publish as ONE version via a transaction
+          else ops.tx(table)(tx => pairs.foreach { case (n, v) => tx.update(c, n, v) }))
+    case Delete(table, cond) =>
+      dml(table, "DELETE", tx => tx.delete(expr(cond)),
+        () => ops.delete(table, expr(cond)))
+    case Merge(table, select, key, setList) =>
+      val setCols =
+        if (setList == null) Seq.empty
+        else splitTopLevel(setList).map(_.trim).filter(_.nonEmpty)
+      dml(table, "MERGE", tx => tx.merge(runSelect(select), key, setCols),
+        () => ops.merge(table, runSelect(select), key, setCols))
+
+    case AlterAdd(table, name, default) =>
+      dml(table, "ALTER", tx => tx.addColumn(name, default),
+        () => ops.addColumn(table, name, default))
+    case AlterDrop(table, name) =>
+      dml(table, "ALTER", tx => tx.dropColumn(name),
+        () => ops.dropColumn(table, name))
+    case Truncate(table) =>
+      noTx("TRUNCATE"); ack("TRUNCATE", table, ops.truncate(table))
+    case DropTable(table) =>
+      noTx("DROP TABLE"); ops.dropTable(table); ack("DROP TABLE", table, -1L)
+    case CreateView(replace, name, select) =>
+      val table = referencedManagedTables(select).headOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"view $name references no managed table"))
+      ops.createView(name, table, select, replace = replace != null)
+      ack("CREATE VIEW", name, -1L)
+    case DropView(name) =>
+      ops.dropView(name); ack("DROP VIEW", name, -1L)
+
+    case select => runSelect(select)
+  }
+
+  private def ack(stmt: String, table: String, version: Long): DataFrame = {
+    import spark.implicits._
+    Seq((stmt, table, version)).toDF("statement", "table", "version")
+  }
+
+  private def activeTx(what: String): (String, ops.Transaction) =
+    active.getOrElse(throw new IllegalStateException(s"$what outside a transaction"))
+
+  private def noTx(what: String): Unit =
+    require(active.isEmpty, s"$what is not allowed inside a transaction")
+
+  /** Route a DML statement: staged into the open transaction (bound to its
+    * first table) or committed standalone. */
+  private def dml(table: String, stmt: String,
+      staged: ops.Transaction => Unit, standalone: () => Long): DataFrame =
+    active match {
+      case Some((bound, tx0)) =>
+        val tx = if (bound == null) {
+          val t = ops.begin(table)
+          active = Some((table, t))
+          t
+        } else {
+          require(bound == table, s"transaction is bound to table $bound; " +
+            s"use Catalog.tx for cross-table atomicity")
+          tx0
+        }
+        staged(tx)
+        ack(stmt, table, -1L)
+      case None => ack(stmt, table, standalone())
+    }
+
+  private def tableColumns(table: String): Seq[String] = active match {
+    case Some((bound, tx)) if bound == table => tx.read().columns.toSeq
+    case _ => ops.read(table).columns.toSeq
+  }
+
+  /** Run a SELECT with every referenced managed table registered as a temp
+    * view of its current snapshot (or the transaction's working state). */
+  private def runSelect(select: String): DataFrame = {
+    referencedManagedTables(select).foreach { t =>
+      val df = active match {
+        case Some((bound, tx)) if bound == t => tx.read()
+        case _ => ops.read(t)
+      }
+      df.createOrReplaceTempView(t)
+    }
+    spark.sql(select)
+  }
+
+  /** Managed tables the statement references by name (conservative word
+    * scan — registering an unused table is harmless; temp-view shadowing
+    * follows the statement's own names). */
+  private def referencedManagedTables(sql: String): Seq[String] = {
+    val words = """\b\w+\b""".r.findAllIn(sql).toSeq.map(_.toLowerCase).toSet
+    ops.listTables().filter(t => words.contains(t.toLowerCase))
+  }
+
+  /** Split on commas at paren/quote depth zero (SET lists, column lists). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var inStr = false
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+}

@@ -2,9 +2,9 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.collection.immutable.ListMap
 import com.fasterxml.jackson.databind.ObjectMapper
+import graft.io.TableIO
 
 /** Snapshot-style managed parquet tables with FILE-LEVEL commits: create /
   * insert / delete / update / MERGE upsert / lazy ALTER ADD+DROP COLUMN /
@@ -37,14 +37,30 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * the manifest before the pointer move, so a crash at any point leaves at
   * worst orphaned data dirs, never a torn or inconsistent table.
   *
+  * Storage: every path operation goes through the [[graft.io.TableIO]] seam
+  * (SURVEY.md §7.4) — java.nio on a bare local root, the Hadoop
+  * `FileSystem` stack (HDFS / S3A / file://) on a URI root — so the same
+  * commit protocol runs in tests and on a 1000-executor cluster's shared
+  * store. The data files themselves are written by Spark's own parquet
+  * writer, which already speaks any Hadoop scheme.
+  *
   * Manifests are Jackson-serialized (never string-interpolated), so column
   * names / default expressions containing quotes or backslashes round-trip.
   */
-final class TableOps(spark: SparkSession, root: String) {
+final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
+
+  def this(spark: SparkSession, root: String) =
+    this(spark, root, TableIO.forPath(root, spark.sessionState.newHadoopConf()))
 
   /** A set of files sharing a write-time schema, plus the defaults for
-    * columns added since they were written (filled on read, in order). */
-  private case class Group(paths: Seq[String], fills: ListMap[String, String])
+    * columns added since they were written (filled on read, in order), plus
+    * per-file column statistics (path → FileStats) recorded at write time —
+    * the Iceberg manifest-entry lower/upper-bounds role: mutations and
+    * point lookups prune candidate files from METADATA before any scan.
+    * Files from pre-stats manifests simply have no entry (conservative:
+    * always candidates). */
+  private case class Group(paths: Seq[String], fills: ListMap[String, String],
+      stats: Map[String, FileStats] = Map.empty)
 
   /** columns = the version's logical projection (drops = absence);
     * props = commit-carried key/value metadata (e.g. per-source ingest
@@ -55,61 +71,37 @@ final class TableOps(spark: SparkSession, root: String) {
 
   private val mapper = new ObjectMapper()
 
-  private def currentMarker(table: String): Path =
-    Paths.get(root, table, "current")
+  private def currentMarker(table: String): String = s"$root/$table/current"
 
-  private def manifestPath(table: String, v: Long): Path =
-    Paths.get(root, table, s"manifest-v$v.json")
+  private def manifestPath(table: String, v: Long): String =
+    s"$root/$table/manifest-v$v.json"
 
   def currentVersion(table: String): Long = {
     val m = currentMarker(table)
     var v =
-      if (Files.exists(m)) new String(Files.readAllBytes(m), "UTF-8").trim.toLong
+      if (io.exists(m)) new String(io.readBytes(m), "UTF-8").trim.toLong
       else -1L
     // roll forward past a crash between claim+manifest and the pointer
     // move: claim + manifest together mean the commit is durable — the
     // pointer is only a cache of "highest committed"
-    while (Files.exists(claimPath(table, v + 1)) &&
-        Files.exists(manifestPath(table, v + 1))) v += 1
+    while (io.exists(claimPath(table, v + 1)) &&
+        io.exists(manifestPath(table, v + 1))) v += 1
     v
   }
 
-  /** Files.list with the stream closed (a bare .iterator leaks the
-    * directory handle for the life of the process). */
-  private def listDir(dir: Path): Seq[Path] = {
-    val st = Files.list(dir)
-    try { import scala.jdk.CollectionConverters._; st.iterator().asScala.toSeq }
-    finally st.close()
-  }
+  private def claimPath(table: String, v: Long): String =
+    s"$root/$table/commits/v$v"
 
-  private def atomicWrite(target: Path, bytes: Array[Byte]): Unit = {
-    Files.createDirectories(target.getParent)
-    val tmp = target.resolveSibling(s".${target.getFileName}.tmp")
-    Files.write(tmp, bytes)
-    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
-      Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
-    }
-  }
-
-  private def claimPath(table: String, v: Long): Path =
-    Paths.get(root, table, "commits", s"v$v")
-
-  /** Optimistic-concurrency commit (the Iceberg catalog-CAS analogue on a
-    * plain filesystem): exactly ONE writer wins each version number via an
-    * atomic create-new claim file; the loser gets a
-    * ConcurrentCommitException and must recompute against the new current
-    * version (its orphaned uuid data dirs are harmless). Claim, then
-    * manifest, then pointer — a crash after the claim+manifest is rolled
-    * forward by currentVersion(); a crash between claim and manifest
-    * leaves an in-doubt claim that subsequent commits surface with a
-    * recovery instruction rather than silently losing either write. */
-  private def commitVersion(table: String, v: Long, m: VersionManifest): Unit = {
+  /** Optimistic-concurrency claim (the Iceberg catalog-CAS analogue):
+    * exactly ONE writer wins each version number via an atomic create-new
+    * claim file; the loser gets a ConcurrentCommitException and must
+    * recompute against the new current version (its orphaned uuid data dirs
+    * are harmless). The claim stores `token` (a transaction identity) so
+    * crash recovery can tell WHOSE claim it is — see Catalog.recover. */
+  private[sources] def claimVersion(table: String, v: Long,
+      token: String = ""): Unit = {
     val claim = claimPath(table, v)
-    Files.createDirectories(claim.getParent)
-    try Files.createFile(claim)
-    catch { case _: java.nio.file.FileAlreadyExistsException =>
+    if (!io.createExclusive(claim, token.getBytes("UTF-8"))) {
       // The claim may belong to (a) a writer that already committed, (b) a
       // LIVE writer between claim and manifest, or (c) a crashed writer.
       // (b) and (c) are indistinguishable from a single observation, so
@@ -119,16 +111,15 @@ final class TableOps(spark: SparkSession, root: String) {
       // writers claim the same version — a silently lost update).
       var waitMs = 20L
       var waited = 0L
-      while (!Files.exists(manifestPath(table, v)) && waited < 1000L) {
+      while (!io.exists(manifestPath(table, v)) && waited < 1000L) {
         Thread.sleep(waitMs); waited += waitMs; waitMs *= 2
       }
-      if (Files.exists(manifestPath(table, v)))
+      if (io.exists(manifestPath(table, v)))
         throw new TableOps.ConcurrentCommitException(
           s"table $table: version $v was committed by another writer — " +
             "reread the table and retry the operation")
       else {
-        val ageMs = System.currentTimeMillis -
-          Files.getLastModifiedTime(claim).toMillis
+        val ageMs = System.currentTimeMillis - io.mtimeMs(claim)
         throw new TableOps.ConcurrentCommitException(
           s"table $table: version $v has a claim with no manifest after " +
             s"${waited} ms of re-checking (claim age ${ageMs} ms) — POSSIBLY " +
@@ -137,42 +128,114 @@ final class TableOps(spark: SparkSession, root: String) {
             s"commit) before removing $claim to recover")
       }
     }
-    writeManifest(table, v, m)
-    atomicWrite(currentMarker(table), v.toString.getBytes("UTF-8"))
   }
 
-  private def writeManifest(table: String, v: Long, m: VersionManifest): Unit = {
+  /** The token a claim was created with ("" for plain single-op commits);
+    * None if no claim exists. */
+  private[sources] def claimToken(table: String, v: Long): Option[String] = {
+    val c = claimPath(table, v)
+    if (io.exists(c)) Some(new String(io.readBytes(c), "UTF-8")) else None
+  }
+
+  /** Release a claim we hold (crash-recovery rollback of a multi-table
+    * transaction that never published this version's manifest). Guarded by
+    * token identity so a foreign writer's claim is never touched. */
+  private[sources] def releaseClaim(table: String, v: Long, token: String): Unit =
+    if (claimToken(table, v).contains(token) &&
+        !io.exists(manifestPath(table, v)))
+      io.deleteIfExists(claimPath(table, v))
+
+  private[sources] def manifestExistsAt(table: String, v: Long): Boolean =
+    io.exists(manifestPath(table, v))
+
+  /** The publish half of a commit: manifest, then pointer. Only call while
+    * holding the version's claim. */
+  private[sources] def finishCommit(table: String, v: Long,
+      m: VersionManifest): Unit = {
+    io.atomicWrite(manifestPath(table, v), serializeManifest(v, m))
+    io.atomicWrite(currentMarker(table), v.toString.getBytes("UTF-8"))
+  }
+
+  /** Claim, then manifest, then pointer — a crash after the claim+manifest
+    * is rolled forward by currentVersion(); a crash between claim and
+    * manifest leaves an in-doubt claim that subsequent commits surface with
+    * a recovery instruction rather than silently losing either write. */
+  private def commitVersion(table: String, v: Long, m: VersionManifest,
+      token: String = ""): Unit = {
+    claimVersion(table, v, token)
+    finishCommit(table, v, m)
+  }
+
+  private def serializeManifest(v: Long, m: VersionManifest): Array[Byte] = {
     // merge groups with identical fills so the manifest grows with distinct
     // schema states, not with every insert
-    var merged = ListMap.empty[ListMap[String, String], Seq[String]]
+    var merged = ListMap.empty[ListMap[String, String], (Seq[String], Map[String, FileStats])]
     m.groups.foreach { g =>
-      if (g.paths.nonEmpty)
-        merged = merged.updated(g.fills, merged.getOrElse(g.fills, Seq.empty) ++ g.paths)
+      if (g.paths.nonEmpty) {
+        val (ps, st) = merged.getOrElse(g.fills, (Seq.empty[String], Map.empty[String, FileStats]))
+        merged = merged.updated(g.fills, (ps ++ g.paths, st ++ g.stats))
+      }
     }
     val rootNode = mapper.createObjectNode()
     rootNode.put("version", v)
     val cols = rootNode.putArray("columns")
     m.columns.foreach(cols.add)
     val groups = rootNode.putArray("groups")
-    merged.foreach { case (fills, paths) =>
+    merged.foreach { case (fills, (paths, stats)) =>
       val g = groups.addObject()
       val p = g.putArray("paths")
       paths.foreach(p.add)
       val f = g.putObject("fills")
       fills.foreach { case (c, sql) => f.put(c, sql) }
+      val liveStats = stats.filter { case (path, _) => paths.contains(path) }
+      if (liveStats.nonEmpty) {
+        val st = g.putObject("stats")
+        liveStats.foreach { case (path, fs) =>
+          val fo = st.putObject(path)
+          fo.put("rows", fs.rows)
+          val co = fo.putObject("cols")
+          fs.cols.foreach { case (c, cs) =>
+            val o = co.putObject(c)
+            o.put("t", cs.typ)
+            cs.min.foreach(o.put("mn", _))
+            cs.max.foreach(o.put("mx", _))
+            o.put("n", cs.nulls)
+          }
+        }
+      }
     }
     if (m.props.nonEmpty) {
       val pr = rootNode.putObject("props")
       m.props.foreach { case (k, value) => pr.put(k, value) }
     }
-    atomicWrite(manifestPath(table, v),
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(rootNode))
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(rootNode)
   }
+
+  /** Serialized manifest a staged transaction would publish — the catalog's
+    * multi-table intent record embeds these bytes so recovery can ROLL
+    * FORWARD an interrupted commit (redo content, not just version ids). */
+  private[sources] def stagedManifestBytes(t: Transaction): Array[Byte] = {
+    require(t.work.groups.nonEmpty, "transaction would leave the table with " +
+      "no files (delete of every row is expressed as create of the empty state)")
+    serializeManifest(t.next, t.work)
+  }
+
+  /** Publish pre-serialized manifest bytes (catalog crash recovery — the
+    * caller must hold the version's claim). */
+  private[sources] def publishManifestBytes(table: String, v: Long,
+      bytes: Array[Byte]): Unit = {
+    io.atomicWrite(manifestPath(table, v), bytes)
+    io.atomicWrite(currentMarker(table), v.toString.getBytes("UTF-8"))
+  }
+
+  /** A committed version's props (empty map when absent). */
+  private[sources] def versionProps(table: String, v: Long): Map[String, String] =
+    readManifest(table, v).props
 
   private def readManifest(table: String, v: Long): VersionManifest = {
     val p = manifestPath(table, v)
-    require(Files.exists(p), s"no manifest for $table v$v under $root")
-    val n = mapper.readTree(Files.readAllBytes(p))
+    require(io.exists(p), s"no manifest for $table v$v under $root")
+    val n = mapper.readTree(io.readBytes(p))
     val columns = (0 until n.get("columns").size())
       .map(i => n.get("columns").get(i).asText())
     val groups = (0 until n.get("groups").size()).map { i =>
@@ -182,7 +245,26 @@ final class TableOps(spark: SparkSession, root: String) {
       var fills = ListMap.empty[String, String]
       val it = g.get("fills").fieldNames()
       while (it.hasNext) { val k = it.next(); fills += k -> g.get("fills").get(k).asText() }
-      Group(paths, fills)
+      var stats = Map.empty[String, FileStats]
+      if (g.has("stats")) {
+        val sIt = g.get("stats").fieldNames()
+        while (sIt.hasNext) {
+          val path = sIt.next()
+          val fo = g.get("stats").get(path)
+          var cols = Map.empty[String, ColStats]
+          val cIt = fo.get("cols").fieldNames()
+          while (cIt.hasNext) {
+            val c = cIt.next()
+            val o = fo.get("cols").get(c)
+            cols += c -> ColStats(o.get("t").asText(),
+              if (o.has("mn")) Some(o.get("mn").asText()) else None,
+              if (o.has("mx")) Some(o.get("mx").asText()) else None,
+              o.get("n").asLong())
+          }
+          stats += path -> FileStats(fo.get("rows").asLong(), cols)
+        }
+      }
+      Group(paths, fills, stats)
     }
     var props = Map.empty[String, String]
     if (n.has("props")) {
@@ -193,14 +275,116 @@ final class TableOps(spark: SparkSession, root: String) {
   }
 
   /** Write `df` as immutable files under a fresh uuid dir; returns the
-    * relative part-file paths for the manifest. */
-  private def writeData(table: String, v: Long, df: DataFrame): Seq[String] = {
+    * relative part-file paths for the manifest plus per-file column stats
+    * (one aggregation pass over ONLY the just-written files — O(new data),
+    * the price of metadata-only mutation planning forever after; partial
+    * aggregation keys on the file name, so the pass is map-side cheap). */
+  private def writeData(table: String, v: Long,
+      df: DataFrame): (Seq[String], Map[String, FileStats]) = {
     val sub = s"data/v$v-${java.util.UUID.randomUUID.toString.take(8)}"
     val dir = s"$root/$table/$sub"
     df.write.mode(SaveMode.Overwrite).parquet(dir)
-    new java.io.File(dir).listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
-      .map(name => s"$sub/$name").toSeq
+    val files = io.list(dir).filter(_.endsWith(".parquet")).sorted
+      .map(name => s"$sub/$name")
+    if (files.isEmpty) (files, Map.empty)
+    else (files, collectStats(dir, sub))
+  }
+
+  /** Per-file min/max/null-count for every stats-eligible column of a
+    * freshly written dir (see [[FileStats]]). */
+  private def collectStats(dir: String, sub: String): Map[String, FileStats] = {
+    import org.apache.spark.sql.types._
+    val snap = spark.read.parquet(dir)
+    val eligible = snap.schema.fields.filter(f => statsEligible(f.dataType))
+    val aggs = count(lit(1)).as("__rows") +: eligible.flatMap { f =>
+      Seq(min(col(f.name)).as(s"${f.name}__mn"),
+        max(col(f.name)).as(s"${f.name}__mx"),
+        coalesce(sum(col(f.name).isNull.cast("long")), lit(0L))
+          .as(s"${f.name}__nl"))
+    }.toSeq
+    snap.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect().map { r =>
+        val full = r.getAs[String]("__f")
+        val name = full.substring(full.lastIndexOf('/') + 1)
+        val cols = eligible.map { f =>
+          f.name -> ColStats(f.dataType.simpleString,
+            encodeStat(r.getAs[Any](s"${f.name}__mn"), f.dataType, isMin = true),
+            encodeStat(r.getAs[Any](s"${f.name}__mx"), f.dataType, isMin = false),
+            r.getAs[Long](s"${f.name}__nl"))
+        }.toMap
+        s"$sub/$name" -> FileStats(r.getAs[Long]("__rows"), cols)
+      }.toMap
+  }
+
+  private def statsEligible(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | StringType | BooleanType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
+  /** Canonical string encoding of a collected min/max value (see
+    * [[StatsPruner]] for the comparison domains). None = no usable bound
+    * (NULL, NaN/∞, or an untruncatable string max) — unbounded that side. */
+  private def encodeStat(v: Any, dt: org.apache.spark.sql.types.DataType,
+      isMin: Boolean): Option[String] = {
+    import org.apache.spark.sql.types._
+    if (v == null) return None
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some(v.toString)
+      case FloatType =>
+        val f = v.asInstanceOf[Float]
+        if (f.isNaN || f.isInfinite) None
+        else Some(new java.math.BigDecimal(f.toString).toPlainString)
+      case DoubleType =>
+        val d = v.asInstanceOf[Double]
+        if (d.isNaN || d.isInfinite) None
+        else Some(java.math.BigDecimal.valueOf(d).toPlainString)
+      case _: DecimalType =>
+        Some(v.asInstanceOf[java.math.BigDecimal].toPlainString)
+      case BooleanType => Some(v.toString)
+      case StringType => encodeStringBound(v.asInstanceOf[String], isMin)
+      case DateType => v match {
+        case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toString)
+        case d: java.time.LocalDate => Some(d.toEpochDay.toString)
+        case _ => None
+      }
+      case TimestampType => v match {
+        case t: java.sql.Timestamp =>
+          Some((Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000).toString)
+        case i: java.time.Instant =>
+          Some((i.getEpochSecond * 1000000L + i.getNano / 1000).toString)
+        case _ => None
+      }
+      case TimestampNTZType => v match {
+        case l: java.time.LocalDateTime =>
+          Some((l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+            l.getNano / 1000).toString)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Iceberg-style string-bound truncation to 64 chars: a min truncates
+    * downward for free (a prefix sorts <= the original); a max must be
+    * truncated AND bumped past every string it prefixes — if no char can
+    * be bumped, there is no finite bound (None). */
+  private def encodeStringBound(s: String, isMin: Boolean): Option[String] = {
+    val Cap = 64
+    if (s.length <= Cap) Some(s)
+    else if (isMin) Some(s.substring(0, Cap))
+    else {
+      val arr = s.substring(0, Cap).toCharArray
+      var i = arr.length - 1
+      while (i >= 0 && arr(i) == Char.MaxValue) i -= 1
+      if (i < 0) None
+      else Some(new String(arr, 0, i) + (arr(i) + 1).toChar)
+    }
   }
 
   private def readGroup(table: String, g: Group, columns: Seq[String]): DataFrame = {
@@ -211,11 +395,10 @@ final class TableOps(spark: SparkSession, root: String) {
 
   /** Tables under this root (dirs with at least one committed version). */
   def listTables(): Seq[String] = {
-    val r = Paths.get(root)
-    if (!Files.exists(r)) Seq.empty
-    else listDir(r).filter(Files.isDirectory(_))
-      .map(_.getFileName.toString)
+    if (!io.exists(root)) Seq.empty
+    else io.list(root).filter(n => io.isDirectory(s"$root/$n"))
       .filterNot(_.startsWith("_"))
+      .filterNot(_.startsWith("."))
       .filter(t => currentVersion(t) >= 0)
       .sorted
   }
@@ -225,10 +408,9 @@ final class TableOps(spark: SparkSession, root: String) {
     * the table are left dangling and fail on read with "does not exist",
     * the standard late-binding-view behavior. */
   def dropTable(table: String): Unit = {
-    val dir = Paths.get(root, table)
-    require(Files.exists(dir) && currentVersion(table) >= 0,
+    require(io.exists(s"$root/$table") && currentVersion(table) >= 0,
       s"table $table does not exist under $root")
-    deleteRecursively(dir)
+    io.deleteRecursively(s"$root/$table")
     ()
   }
 
@@ -242,16 +424,17 @@ final class TableOps(spark: SparkSession, root: String) {
     val next = v + 1
     val m = readManifest(table, v)
     val empty = readVersion(table, v).limit(0).coalesce(1)
-    val files = writeData(table, next, empty)
-    commitVersion(table, next, m.copy(groups = Seq(Group(files, ListMap.empty))))
+    val (files, st) = writeData(table, next, empty)
+    commitVersion(table, next,
+      m.copy(groups = Seq(Group(files, ListMap.empty, st))))
     next
   }
 
   def create(table: String, df: DataFrame): Long = {
     val v = currentVersion(table) + 1
-    val files = writeData(table, v, df)
+    val (files, st) = writeData(table, v, df)
     commitVersion(table, v, VersionManifest(df.columns.toSeq,
-      Seq(Group(files, ListMap.empty))))
+      Seq(Group(files, ListMap.empty, st))))
     v
   }
 
@@ -313,40 +496,129 @@ final class TableOps(spark: SparkSession, root: String) {
     mutate(table, cond, df => df.withColumn(setCol,
       when(coalesce(cond, lit(false)), value).otherwise(col(setCol))))
 
+  /** Cast `df` to the table's current READ schema, in manifest column order
+    * — the SQL column-type contract for INSERT/UPDATE/MERGE (incoming
+    * values adopt the column's type, not the other way round). Also a
+    * storage invariant: serializeManifest merges all no-fills files into
+    * one group read by a single parquet scan, so every write MUST land on
+    * the group's physical schema — a decimal file merged among double files
+    * would have its unscaled integers silently read as doubles. */
+  private def conform(table: String, m: VersionManifest, df: DataFrame): DataFrame =
+    if (m.groups.isEmpty) df.select(m.columns.map(col): _*)
+    else {
+      val target = m.groups.map(readGroup(table, _, m.columns))
+        .reduce(_.unionByName(_)).schema
+      df.select(target.fields.toSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*)
+    }
+
   private def applyInsert(table: String, next: Long, m: VersionManifest,
       rows: DataFrame): VersionManifest = {
-    val files = writeData(table, next, rows.select(m.columns.map(col): _*))
-    m.copy(groups = m.groups :+ Group(files, ListMap.empty))
+    val (files, st) = writeData(table, next, conform(table, m, rows))
+    m.copy(groups = m.groups :+ Group(files, ListMap.empty, st))
+  }
+
+  /** Observability for plan pins (specs assert metadata pruning fired):
+    * after any mutate/merge/scanWhere planning pass, how many files the
+    * manifest stats kept as candidates vs pruned without any job. */
+  @volatile private[graft] var lastPlanCandidates: Int = -1
+  @volatile private[graft] var lastPlanPruned: Int = -1
+
+  /** Resolve a user predicate against the table's schema into an ANALYZED
+    * Catalyst expression (EqualTo/LessThan/... over AttributeReferences) —
+    * what [[StatsPruner]] pattern-matches on. Spark 4 Columns are lazy
+    * unresolved-function ASTs, so this runs the analyzer over a filter on
+    * `probe` (plan-only — no job). None = cannot resolve: no pruning. */
+  private def resolvePredicate(probe: DataFrame, cond: Column)
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+    scala.util.Try(probe.filter(cond).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }).toOption.flatten
+
+  /** Split a group's files into (candidates, metadata-pruned) for `cond`
+    * using the manifest's per-file stats — no Spark job, no file opens. */
+  private def pruneByStats(g: Group,
+      cond: Option[org.apache.spark.sql.catalyst.expressions.Expression])
+      : (Seq[String], Seq[String]) = cond match {
+    case None => (g.paths, Seq.empty)
+    case Some(e) =>
+      g.paths.partition(p =>
+        g.stats.get(p).forall(fs => StatsPruner.mayMatch(e, fs)))
   }
 
   /** Copy-on-write at FILE granularity against an arbitrary working
-    * manifest: a pushdown scan finds the files with matching rows (parquet
-    * footer min/max prunes the rest without reading data); only those files
+    * manifest, planned in two metadata-first steps: (1) the manifest's
+    * per-file stats prune every file whose [min,max] ranges cannot satisfy
+    * `cond` — no I/O at all, the Iceberg manifest-stats role; (2) a
+    * pushdown scan over ONLY the surviving candidates finds the files with
+    * actual matches (parquet footers prune row groups). Only those files
     * are rewritten — with the current schema materialized
-    * (migration-on-write) — and every untouched file is carried as-is. */
+    * (migration-on-write) — and every untouched file is carried as-is,
+    * stats included. A fully-pruned group costs zero Spark jobs. */
   private def applyMutate(table: String, next: Long, m: VersionManifest,
       cond: Column, rewrite: DataFrame => DataFrame): VersionManifest = {
     var kept = Seq.empty[Group]
     var hitDfs = Seq.empty[DataFrame]
+    var nCand = 0
+    var nPruned = 0
+    val resolved = m.groups.headOption.flatMap(g0 =>
+      resolvePredicate(readGroup(table, g0, m.columns), cond))
     m.groups.foreach { g =>
-      var df = spark.read.parquet(g.paths.map(p => s"$root/$table/$p"): _*)
-        .withColumn("__file", input_file_name())
-      g.fills.foreach { case (c, sql) => df = df.withColumn(c, expr(sql)) }
-      val affected = df.filter(coalesce(cond, lit(false)))
-        .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
-      val (hit, unhit) = g.paths.partition(p => affected.exists(_.endsWith(p)))
-      if (unhit.nonEmpty) kept :+= Group(unhit, g.fills)
-      if (hit.nonEmpty) hitDfs :+= readGroup(table, g.copy(paths = hit), m.columns)
+      val (cands, pruned) = pruneByStats(g, resolved)
+      nCand += cands.size; nPruned += pruned.size
+      if (pruned.nonEmpty)
+        kept :+= Group(pruned, g.fills, g.stats.filter(s => pruned.contains(s._1)))
+      if (cands.nonEmpty) {
+        var df = spark.read.parquet(cands.map(p => s"$root/$table/$p"): _*)
+          .withColumn("__file", input_file_name())
+        g.fills.foreach { case (c, sql) => df = df.withColumn(c, expr(sql)) }
+        val affected = df.filter(coalesce(cond, lit(false)))
+          .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
+        val (hit, unhit) = cands.partition(p => affected.exists(_.endsWith(p)))
+        if (unhit.nonEmpty)
+          kept :+= Group(unhit, g.fills, g.stats.filter(s => unhit.contains(s._1)))
+        if (hit.nonEmpty) hitDfs :+= readGroup(table, g.copy(paths = hit), m.columns)
+      }
     }
+    lastPlanCandidates = nCand; lastPlanPruned = nPruned
     val groups =
       if (hitDfs.isEmpty) kept
       else {
-        val rewritten = rewrite(hitDfs.reduce(_.unionByName(_)))
-          .select(m.columns.map(col): _*)
-        val files = writeData(table, next, rewritten)
-        if (files.nonEmpty) kept :+ Group(files, ListMap.empty) else kept
+        val rewritten =
+          conform(table, m, rewrite(hitDfs.reduce(_.unionByName(_))))
+        val (files, st) = writeData(table, next, rewritten)
+        if (files.nonEmpty) kept :+ Group(files, ListMap.empty, st) else kept
       }
     m.copy(groups = groups)
+  }
+
+  /** Metadata-pruned point/range read (the managed-table IndexScan path,
+    * reference index_iterator.cpp / bwtree_index.h: a selective predicate
+    * reaches only the blocks whose key range can match): files are chosen
+    * from the manifest's per-file stats with NO file opens, then the
+    * pushdown scan reads only those (parquet footers prune row groups
+    * inside). On a table clustered by compactTable(sortBy/zorder) on the
+    * predicate columns this touches O(1) files regardless of table size —
+    * the spec pins it via df.inputFiles. */
+  def scanWhere(table: String, cond: Column): DataFrame = {
+    val v = currentVersion(table)
+    require(v >= 0, s"table $table does not exist under $root")
+    val m = readManifest(table, v)
+    var nCand = 0
+    var nPruned = 0
+    val resolved = m.groups.headOption.flatMap(g0 =>
+      resolvePredicate(readGroup(table, g0, m.columns), cond))
+    val dfs = m.groups.flatMap { g =>
+      val (cands, pruned) = pruneByStats(g, resolved)
+      nCand += cands.size; nPruned += pruned.size
+      if (cands.isEmpty) None
+      else Some(readGroup(table, g.copy(paths = cands), m.columns))
+    }
+    lastPlanCandidates = nCand; lastPlanPruned = nPruned
+    val base =
+      if (dfs.isEmpty) readVersion(table, v).limit(0)
+      else dfs.reduce(_.unionByName(_))
+    base.filter(cond)
   }
 
   private def mutate(table: String, cond: Column,
@@ -382,6 +654,11 @@ final class TableOps(spark: SparkSession, root: String) {
     /** The version this transaction will publish on commit (for the
       * catalog's multi-table intent record). */
     private[sources] def stagedVersion: Long = next
+
+    /** Stamp commit-carried metadata (e.g. the catalog transaction id used
+      * by crash recovery to verify WHOSE commit landed at a version). */
+    private[sources] def setProp(k: String, v: String): Unit =
+      work = work.copy(props = work.props + (k -> v))
 
     def insert(rows: DataFrame): Unit =
       work = applyInsert(table, next, work, rows)
@@ -444,10 +721,11 @@ final class TableOps(spark: SparkSession, root: String) {
 
   /** Publish a staged transaction as one OCC version (the commit half of
     * tx()); returns the committed version. */
-  private[sources] def commitStaged(table: String, t: Transaction): Long = {
+  private[sources] def commitStaged(table: String, t: Transaction,
+      token: String = ""): Long = {
     require(t.work.groups.nonEmpty, s"transaction would leave $table with " +
       "no files (delete of every row is expressed as create of the empty state)")
-    commitVersion(table, t.next, t.work)
+    commitVersion(table, t.next, t.work, token)
     t.next
   }
 
@@ -484,25 +762,59 @@ final class TableOps(spark: SparkSession, root: String) {
       s"setCols ${setCols.filterNot(m.columns.contains)} not in $table")
     require(!setCols.contains(key), "cannot update the merge key itself")
     val src = source.select(m.columns.map(col): _*)
-    require(src.groupBy(col(key)).count().filter(col("count") > 1).isEmpty,
+    // ONE pass over the source yields the MERGE cardinality check (the SQL
+    // rule: duplicate keys would write nondeterministically) AND the key
+    // range that drives manifest-stats file pruning — the former used to
+    // be its own source-wide groupBy job
+    val kc = col(key)
+    val summary = src.agg(count(lit(1)).as("__n"),
+      countDistinct(kc).as("__d"),
+      coalesce(sum(kc.isNull.cast("long")), lit(0L)).as("__nn"),
+      min(kc).as("__mn"), max(kc).as("__mx")).head()
+    val srcN = summary.getAs[Long]("__n")
+    require(srcN - summary.getAs[Long]("__nn") == summary.getAs[Long]("__d") &&
+      summary.getAs[Long]("__nn") <= 1,
       s"merge source has duplicate $key values (SQL MERGE cardinality rule)")
+    // candidate pruning: only files whose key range overlaps the source's
+    // can hold matches (conservative — lit() failures just disable it)
+    val keyRange: Option[Column] =
+      (Option(summary.getAs[Any]("__mn")), Option(summary.getAs[Any]("__mx"))) match {
+        case (Some(lo), Some(hi)) =>
+          scala.util.Try(kc >= lit(lo) && kc <= lit(hi)).toOption
+        case _ => None
+      }
     val srcKeys = src.select(col(key))
     var kept = Seq.empty[Group]
     var hitDfs = Seq.empty[DataFrame]
+    var nCand = 0
+    var nPruned = 0
     // insert-only merge (no setCols): a matched row is a no-op, so skip
     // the matched-file scan entirely — no file is rewritten, only the
     // anti-join insert half runs
+    val resolvedRange = for {
+      r <- keyRange
+      g0 <- m.groups.headOption
+      e <- resolvePredicate(readGroup(table, g0, m.columns), r)
+    } yield e
     if (setCols.isEmpty) kept = m.groups
     else m.groups.foreach { g =>
-      var df = spark.read.parquet(g.paths.map(p => s"$root/$table/$p"): _*)
-        .withColumn("__file", input_file_name())
-      g.fills.foreach { case (c, sql) => df = df.withColumn(c, expr(sql)) }
-      val affected = df.join(srcKeys, Seq(key), "left_semi")
-        .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
-      val (hit, unhit) = g.paths.partition(p => affected.exists(_.endsWith(p)))
-      if (unhit.nonEmpty) kept :+= Group(unhit, g.fills)
-      if (hit.nonEmpty) hitDfs :+= readGroup(table, g.copy(paths = hit), m.columns)
+      val (cands, pruned) = pruneByStats(g, resolvedRange)
+      nCand += cands.size; nPruned += pruned.size
+      if (pruned.nonEmpty)
+        kept :+= Group(pruned, g.fills, g.stats.filter(s => pruned.contains(s._1)))
+      if (cands.nonEmpty) {
+        var df = spark.read.parquet(cands.map(p => s"$root/$table/$p"): _*)
+          .withColumn("__file", input_file_name())
+        g.fills.foreach { case (c, sql) => df = df.withColumn(c, expr(sql)) }
+        val affected = df.join(srcKeys, Seq(key), "left_semi")
+          .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
+        val (hit, unhit) = cands.partition(p => affected.exists(_.endsWith(p)))
+        if (unhit.nonEmpty)
+          kept :+= Group(unhit, g.fills, g.stats.filter(s => unhit.contains(s._1)))
+        if (hit.nonEmpty) hitDfs :+= readGroup(table, g.copy(paths = hit), m.columns)
+      }
     }
+    lastPlanCandidates = nCand; lastPlanPruned = nPruned
     // matched rows: source values for setCols, keyed by an explicit marker
     // (NOT coalesce — a legitimately-NULL source value must win)
     val marked = src.select(col(key) +: setCols.map(c =>
@@ -520,8 +832,9 @@ final class TableOps(spark: SparkSession, root: String) {
     val inserts = src.join(target.select(col(key)), Seq(key), "left_anti")
       .select(m.columns.map(col): _*)
     val toWrite = updated.map(_.unionByName(inserts)).getOrElse(inserts)
-    val files = writeData(table, next, toWrite)
-    val groups = if (files.nonEmpty) kept :+ Group(files, ListMap.empty) else kept
+    val (files, st) = writeData(table, next, conform(table, m, toWrite))
+    val groups =
+      if (files.nonEmpty) kept :+ Group(files, ListMap.empty, st) else kept
     m.copy(groups = groups)
   }
 
@@ -550,13 +863,16 @@ final class TableOps(spark: SparkSession, root: String) {
     *
     * `zorder = true` (with ≥2 numeric sortBy columns — Delta's OPTIMIZE
     * ZORDER BY) clusters on the Z-value instead: each column is min/max
-    * normalized to 16 bits and the bits INTERLEAVED into one key, so
+    * normalized to `bits` bits and the bits INTERLEAVED into one key, so
     * every output file covers a bounded range in EVERY listed dimension —
     * footer stats then prune for predicates on any of them, where a
-    * lexicographic sort only ever prunes on its leading column. The
-    * interleave is a pure Catalyst expression fold (codegen'd, no UDF).
-    * Returns the new version (or the current one if there was nothing to
-    * compact). */
+    * lexicographic sort only ever prunes on its leading column. Per-column
+    * bits = min(16, 63 / dims), so every interleaved position stays below
+    * the Long sign bit however many columns are listed (4 cols → 15 bits,
+    * 5 → 12): bit dims*bits-1 < 63 keeps the key order-safe under signed
+    * range partitioning. The interleave is a pure Catalyst expression fold
+    * (codegen'd, no UDF). Returns the new version (or the current one if
+    * there was nothing to compact). */
   def compactTable(table: String, targetFileBytes: Long = 128L * 1024 * 1024,
       sortBy: Seq[String] = Nil, zorder: Boolean = false): Long = {
     val v = currentVersion(table)
@@ -572,12 +888,11 @@ final class TableOps(spark: SparkSession, root: String) {
       // the wrong order (Delta's OPTIMIZE ZORDER rewrites all files)
       val (big, sm) =
         if (sortBy.nonEmpty) (Seq.empty[String], g.paths)
-        else g.paths.partition(p =>
-          Files.size(Paths.get(root, table, p)) >= targetFileBytes)
+        else g.paths.partition(p => io.size(s"$root/$table/$p") >= targetFileBytes)
       if (big.nonEmpty) carried :+= Group(big, g.fills)
       if (sm.nonEmpty) {
         small :+= Group(sm, g.fills)
-        smallBytes += sm.map(p => Files.size(Paths.get(root, table, p))).sum
+        smallBytes += sm.map(p => io.size(s"$root/$table/$p")).sum
         nSmall += sm.size
       }
     }
@@ -597,12 +912,14 @@ final class TableOps(spark: SparkSession, root: String) {
         .sortWithinPartitions(sortBy.map(col): _*)
       else {
         require(sortBy.size >= 2, "zorder needs >= 2 columns (use plain sortBy for 1)")
-        // per-column min/max in one pass, then 16-bit normalize + interleave
+        // per-column min/max in one pass, then normalize + interleave
         val aggs = sortBy.flatMap(c => Seq(
           min(col(c).cast("double")).as(s"${c}__mn"),
           max(col(c).cast("double")).as(s"${c}__mx")))
         val r = unioned.agg(aggs.head, aggs.tail: _*).head()
-        val Bits = 16
+        // bounded so bit (bits*dims - 1) stays below the Long sign bit —
+        // 16-bit resolution through 3 columns, degrading gracefully after
+        val bits = math.min(16, 63 / sortBy.size)
         val normed = sortBy.map { c =>
           // boxed reads: an all-NULL or non-castable column has null
           // min/max — it carries no order information, z-bits 0 (same as
@@ -611,13 +928,13 @@ final class TableOps(spark: SparkSession, root: String) {
           val mx = Option(r.getAs[java.lang.Double](s"${c}__mx")).map(_.doubleValue)
           (mn, mx) match {
             case (Some(lo), Some(hi)) if hi > lo =>
-              ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit((1 << Bits) - 1))
+              ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit((1 << bits) - 1))
                 .cast("long")
             case _ => lit(0L)
           }
         }
         // interleave: bit i of column j lands at position i*dims + j
-        val zkey = (0 until Bits).flatMap(i => normed.zipWithIndex.map {
+        val zkey = (0 until bits).flatMap(i => normed.zipWithIndex.map {
           case (n, j) => shiftleft(shiftright(n, i).bitwiseAND(lit(1L)),
             i * sortBy.size + j)
         }).reduce(_ + _)
@@ -626,9 +943,13 @@ final class TableOps(spark: SparkSession, root: String) {
           .sortWithinPartitions(col("__zkey"))
           .drop("__zkey")
       }
-    val files = writeData(table, next, packed)
+    val (files, st) = writeData(table, next, packed)
+    // a clustered rewrite of an empty table can produce zero part files
+    // with nothing carried — committing that would publish a manifest
+    // readVersion rejects, so leave the table at the current version
+    if (files.isEmpty && carried.isEmpty) return v
     commitVersion(table, next, m.copy(groups =
-      if (files.nonEmpty) carried :+ Group(files, ListMap.empty) else carried))
+      if (files.nonEmpty) carried :+ Group(files, ListMap.empty, st) else carried))
     next
   }
 
@@ -699,7 +1020,7 @@ final class TableOps(spark: SparkSession, root: String) {
       o.put("name", name); o.put("nulls", nulls); o.put("ndv", ndv)
       mn.foreach(o.put("min", _)); mx.foreach(o.put("max", _))
     }
-    atomicWrite(Paths.get(root, table, s"stats-v$v.json"),
+    io.atomicWrite(s"$root/$table/stats-v$v.json",
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     import spark.implicits._
     statRows.toSeq
@@ -726,18 +1047,6 @@ final class TableOps(spark: SparkSession, root: String) {
       groups = m.groups.map(g => g.copy(fills = g.fills - name)))
   }
 
-  /** Recursively delete a file or directory tree (e.g. a `_temporary` dir
-    * left by a crashed Spark write nested inside a writer dir — a flat
-    * Files.delete would throw DirectoryNotEmptyException mid-sweep and
-    * leave expire/vacuum partially applied). Returns deleted parquet count. */
-  private def deleteRecursively(p: Path): Int = {
-    var parquet = 0
-    if (Files.isDirectory(p)) listDir(p).foreach(parquet += deleteRecursively(_))
-    else if (p.getFileName.toString.endsWith(".parquet")) parquet = 1
-    Files.delete(p)
-    parquet
-  }
-
   /** Snapshot expiration — the lifecycle half of the commit model (the
     * reference GCs version chains in garbage_collector.cpp; Iceberg's
     * expire_snapshots): drop every version older than the newest
@@ -755,39 +1064,36 @@ final class TableOps(spark: SparkSession, root: String) {
     val current = currentVersion(table)
     require(current >= 0, s"table $table does not exist under $root")
     val keepFrom = math.max(0L, current - keepVersions + 1)
-    val kept = (keepFrom to current).filter(v => Files.exists(manifestPath(table, v)))
+    val kept = (keepFrom to current).filter(v => io.exists(manifestPath(table, v)))
     val referenced: Set[String] =
       kept.flatMap(v => readManifest(table, v).groups.flatMap(_.paths)).toSet
     // files owned by the expiring window: referenced by an expired manifest,
     // by no kept one (read these BEFORE deleting the manifests)
     val expiring = (0L until keepFrom)
-      .filter(v => Files.exists(manifestPath(table, v)))
+      .filter(v => io.exists(manifestPath(table, v)))
     val toDelete: Set[String] = expiring
       .flatMap(v => readManifest(table, v).groups.flatMap(_.paths))
       .toSet -- referenced
     var expired = 0
     (0L until keepFrom).foreach { v =>
-      val mp = manifestPath(table, v)
-      if (Files.exists(mp)) { Files.delete(mp); expired += 1 }
-      Files.deleteIfExists(claimPath(table, v))
-      Files.deleteIfExists(Paths.get(root, table, s"stats-v$v.json"))
+      if (io.deleteIfExists(manifestPath(table, v))) expired += 1
+      io.deleteIfExists(claimPath(table, v))
+      io.deleteIfExists(s"$root/$table/stats-v$v.json")
     }
     var deleted = 0
     toDelete.foreach { rel =>
-      val p = Paths.get(root, table, rel)
-      if (Files.deleteIfExists(p)) deleted += 1
+      if (io.deleteIfExists(s"$root/$table/$rel")) deleted += 1
     }
     // sweep writer dirs the deletions emptied of expired-owned content:
     // remaining entries that are neither referenced nor parquet (Spark
     // _SUCCESS markers, crashed _temporary dirs) go with the dir
-    toDelete.map(rel => Paths.get(root, table, rel).getParent).foreach { sub =>
-      if (Files.exists(sub)) {
-        val rel = s"data/${sub.getFileName}"
-        val entries = listDir(sub)
-        val liveContent = entries.exists(f =>
-          referenced.contains(s"$rel/${f.getFileName}") ||
-            f.getFileName.toString.endsWith(".parquet"))
-        if (!liveContent) deleteRecursively(sub)
+    toDelete.map(rel => rel.substring(0, rel.lastIndexOf('/'))).foreach { relDir =>
+      val sub = s"$root/$table/$relDir"
+      if (io.exists(sub)) {
+        val entries = io.list(sub)
+        val liveContent = entries.exists(n =>
+          referenced.contains(s"$relDir/$n") || n.endsWith(".parquet"))
+        if (!liveContent) io.deleteRecursively(sub)
       }
     }
     (expired, deleted)
@@ -804,29 +1110,29 @@ final class TableOps(spark: SparkSession, root: String) {
     * explicitly. Returns deleted parquet-file count. */
   def vacuum(table: String, minAgeMs: Long = TableOps.DefaultVacuumAgeMs): Int = {
     require(currentVersion(table) >= 0, s"table $table does not exist under $root")
-    val referenced: Set[String] = listDir(Paths.get(root, table))
-      .filter(_.getFileName.toString.matches("manifest-v\\d+\\.json"))
-      .flatMap { p =>
-        val v = p.getFileName.toString.stripPrefix("manifest-v")
-          .stripSuffix(".json").toLong
+    val referenced: Set[String] = io.list(s"$root/$table")
+      .filter(_.matches("manifest-v\\d+\\.json"))
+      .flatMap { name =>
+        val v = name.stripPrefix("manifest-v").stripSuffix(".json").toLong
         readManifest(table, v).groups.flatMap(_.paths)
       }.toSet
     var deleted = 0
     val now = System.currentTimeMillis
-    val dataRoot = Paths.get(root, table, "data")
-    if (Files.exists(dataRoot)) {
-      listDir(dataRoot).filter(Files.isDirectory(_)).foreach { sub =>
-        val rel = s"data/${sub.getFileName}"
-        val files = listDir(sub)
-        val anyReferenced =
-          files.exists(f => referenced.contains(s"$rel/${f.getFileName}"))
+    val dataRoot = s"$root/$table/data"
+    if (io.exists(dataRoot)) {
+      io.list(dataRoot).filter(n => io.isDirectory(s"$dataRoot/$n")).foreach { name =>
+        val sub = s"$dataRoot/$name"
+        val rel = s"data/$name"
+        val files = io.list(sub)
+        val anyReferenced = files.exists(f => referenced.contains(s"$rel/$f"))
         // age check walks the whole subtree, so a fresh file inside a
         // nested _temporary dir also holds the sweep back
-        def ageOk(p: Path): Boolean =
-          if (Files.isDirectory(p)) listDir(p).forall(ageOk)
-          else now - Files.getLastModifiedTime(p).toMillis >= minAgeMs
-        if (!anyReferenced && files.nonEmpty && files.forall(ageOk))
-          deleted += deleteRecursively(sub)
+        def ageOk(p: String): Boolean =
+          if (io.isDirectory(p)) io.listPaths(p).forall(ageOk)
+          else now - io.mtimeMs(p) >= minAgeMs
+        if (!anyReferenced && files.nonEmpty &&
+            files.forall(f => ageOk(s"$sub/$f")))
+          deleted += io.deleteRecursively(sub)
       }
     }
     deleted
@@ -840,19 +1146,19 @@ final class TableOps(spark: SparkSession, root: String) {
   // _views/ namespace; create/drop never touch table manifests, so
   // existing snapshots are unaffected by definition.
 
-  private def viewPath(name: String): Path = Paths.get(root, "_views", s"$name.json")
+  private def viewPath(name: String): String = s"$root/_views/$name.json"
 
   /** CREATE [OR REPLACE] VIEW name AS <sql>, where <sql> references the
     * managed table by its table name. */
   def createView(name: String, table: String, sql: String,
       replace: Boolean = false): Unit = {
     require(currentVersion(table) >= 0, s"table $table does not exist under $root")
-    require(replace || !Files.exists(viewPath(name)),
+    require(replace || !io.exists(viewPath(name)),
       s"view $name already exists (use replace = true)")
     val node = mapper.createObjectNode()
     node.put("table", table)
     node.put("sql", sql)
-    atomicWrite(viewPath(name),
+    io.atomicWrite(viewPath(name),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
   }
 
@@ -860,19 +1166,20 @@ final class TableOps(spark: SparkSession, root: String) {
     * table name, run the stored SQL. */
   def readView(name: String): DataFrame = {
     val p = viewPath(name)
-    require(Files.exists(p), s"view $name does not exist under $root")
-    val n = mapper.readTree(Files.readAllBytes(p))
+    require(io.exists(p), s"view $name does not exist under $root")
+    val n = mapper.readTree(io.readBytes(p))
     val table = n.get("table").asText()
     read(table).createOrReplaceTempView(table)
     spark.sql(n.get("sql").asText())
   }
 
   def dropView(name: String): Unit = {
-    require(Files.exists(viewPath(name)), s"view $name does not exist under $root")
-    Files.delete(viewPath(name))
+    require(io.exists(viewPath(name)), s"view $name does not exist under $root")
+    io.deleteIfExists(viewPath(name))
+    ()
   }
 
-  def viewExists(name: String): Boolean = Files.exists(viewPath(name))
+  def viewExists(name: String): Boolean = io.exists(viewPath(name))
 }
 
 object TableOps {

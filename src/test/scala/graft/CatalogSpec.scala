@@ -71,59 +71,86 @@ class CatalogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { cat.unregister("log") }
   }
 
-  test("crash between table commits and the flip: catalog stays consistent, recover() completes") {
-    val root = TestSpark.tmpDir("graft-catalog-recover")
-    val cat = new Catalog(spark, root)
+  /** A two-table catalog plus the tx body used by every crash test. */
+  private def crashFixture(tag: String): Catalog = {
+    val cat = fresh(tag)
     cat.tables.create("a", Seq((1L, 1.0)).toDF("id", "v"))
     cat.tables.create("b", Seq((1L, 1.0)).toDF("id", "v"))
     cat.register("a"); cat.register("b")
-    val cv = cat.currentCatalogVersion
-
-    // fabricate the exact crash state: per-table commits durable, intent on
-    // disk, catalog pointer NOT flipped — by running a real tx and then
-    // rewinding the catalog while restoring the intent record
-    val cvAfter = cat.tx { t =>
-      t.on("a").update($"id" === 1L, "v", lit(2.0))
-      t.on("b").update($"id" === 1L, "v", lit(2.0))
-    }
-    val catDir = java.nio.file.Paths.get(root, "_catalog")
-    java.nio.file.Files.delete(catDir.resolve(s"cat-v$cvAfter.json"))
-    java.nio.file.Files.delete(catDir.resolve("commits").resolve(s"v$cvAfter"))
-    java.nio.file.Files.write(catDir.resolve("current"),
-      cv.toString.getBytes("UTF-8"))
-    val intents = catDir.resolve("intents")
-    java.nio.file.Files.createDirectories(intents)
-    val node = s"""{"catalogBase": $cv, "tables": {"a": 1, "b": 1}}"""
-    java.nio.file.Files.write(intents.resolve("deadbeef.json"),
-      node.getBytes("UTF-8"))
-
-    // the catalog is CONSISTENT at the old snapshot (both tables old)
-    assert(cat.currentCatalogVersion == cv)
-    assert(cat.read("a").select("v").as[Double].head() == 1.0)
-    assert(cat.read("b").select("v").as[Double].head() == 1.0)
-
-    // recovery completes the flip (both intended versions are durable)
-    val (applied, left) = cat.recover()
-    assert(applied == 1 && left == 0)
-    assert(cat.read("a").select("v").as[Double].head() == 2.0)
-    assert(cat.read("b").select("v").as[Double].head() == 2.0)
-    // idempotent
-    assert(cat.recover() == ((0, 0)))
+    cat
   }
 
-  test("recover() leaves a half-committed intent for the operator") {
-    val root = TestSpark.tmpDir("graft-catalog-partial")
-    val cat = new Catalog(spark, root)
-    cat.tables.create("a", Seq((1L, 1.0)).toDF("id", "v"))
-    cat.register("a")
-    val intents = java.nio.file.Paths.get(root, "_catalog", "intents")
-    java.nio.file.Files.createDirectories(intents)
-    // intent names a version "a" never reached: writer died before commit
-    java.nio.file.Files.write(intents.resolve("dead0001.json"),
-      s"""{"catalogBase": 0, "tables": {"a": 7}}""".getBytes("UTF-8"))
-    val (applied, left) = cat.recover()
-    assert(applied == 0 && left == 1)
-    assert(cat.read("a").count() == 1) // untouched
+  private def crashAt(cat: Catalog, point: String): Unit = {
+    cat.failpoint = point
+    try intercept[Catalog.SimulatedCrash] {
+      cat.tx { t =>
+        t.on("a").update($"id" === 1L, "v", lit(2.0))
+        t.on("b").update($"id" === 1L, "v", lit(2.0))
+      }
+    } finally cat.failpoint = ""
+  }
+
+  private def bothRead(cat: Catalog): (Double, Double) =
+    (cat.read("a").select("v").as[Double].head(),
+      cat.read("b").select("v").as[Double].head())
+
+  test("crash after publish, before the flip: recover() rolls FORWARD") {
+    val cat = crashFixture("crash-before-flip")
+    val cv = cat.currentCatalogVersion
+    crashAt(cat, "before-flip")
+    // the catalog is CONSISTENT at the old snapshot (both tables old)
+    assert(cat.currentCatalogVersion == cv)
+    assert(bothRead(cat) == ((1.0, 1.0)))
+    assert(cat.recover() == ((1, 0)))
+    assert(bothRead(cat) == ((2.0, 2.0)))
+    assert(cat.recover() == ((0, 0))) // idempotent
+  }
+
+  test("crash mid-publish (one manifest landed): recover() completes the other from redo content") {
+    val cat = crashFixture("crash-mid-publish")
+    crashAt(cat, "mid-publish") // a published, b only claimed
+    assert(bothRead(cat) == ((1.0, 1.0)))
+    assert(cat.recover() == ((1, 0)))
+    assert(bothRead(cat) == ((2.0, 2.0)))
+    // both tables are per-table durable too
+    assert(cat.tables.read("b").select("v").as[Double].head() == 2.0)
+  }
+
+  test("crash mid-claims (no manifest published): recover() rolls BACK and frees the claims") {
+    val cat = crashFixture("crash-mid-claims")
+    crashAt(cat, "mid-claims") // a claimed, b not
+    assert(cat.recover() == ((0, 1)))
+    assert(bothRead(cat) == ((1.0, 1.0)))
+    // the released claim doesn't block new writers on either table
+    cat.tables.insert("a", Seq((2L, 9.0)).toDF("id", "v"))
+    cat.tables.insert("b", Seq((2L, 9.0)).toDF("id", "v"))
+    assert(cat.tables.read("a").count() == 2)
+    assert(cat.tables.read("b").count() == 2)
+  }
+
+  test("crash after the flip, before intent delete: recover() just drops the intent") {
+    val cat = crashFixture("crash-post-flip")
+    val cv = cat.currentCatalogVersion
+    crashAt(cat, "before-intent-delete")
+    assert(cat.currentCatalogVersion == cv + 1)
+    assert(bothRead(cat) == ((2.0, 2.0)))
+    assert(cat.recover() == ((1, 0))) // already covered — no second flip
+    assert(cat.currentCatalogVersion == cv + 1)
+    assert(bothRead(cat) == ((2.0, 2.0)))
+  }
+
+  test("foreign commit at the intended version: recover() never adopts another writer's content") {
+    val cat = crashFixture("crash-foreign")
+    crashAt(cat, "intent-written") // intent durable, NOTHING claimed
+    // an unrelated writer now takes the very version numbers the dead
+    // transaction intended — recover must not flip the catalog onto it
+    cat.tables.insert("a", Seq((7L, 7.0)).toDF("id", "v"))
+    assert(cat.recover() == ((0, 1)))
+    // catalog still maps the pre-transaction snapshot of BOTH tables
+    assert(bothRead(cat) == ((1.0, 1.0)))
+    assert(cat.read("a").count() == 1)
+    // the foreign commit is per-table durable, untouched by recovery
+    assert(cat.tables.read("a").count() == 2)
   }
 
   test("per-table OCC conflict aborts the whole multi-table tx; catalog never tears") {

@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftSql, TableOps}
+
+/** The SQL front door (entry-point-A parity, reference
+  * traffic_cop.cpp:248-258): every statement class of the snapshot-table
+  * surface driven purely by SQL strings. */
+class GraftSqlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(tag: String): GraftSql =
+    new GraftSql(spark, new TableOps(spark, TestSpark.tmpDir(s"graft-sql-$tag")))
+
+  test("CREATE TABLE AS / INSERT VALUES / INSERT SELECT / UPDATE / DELETE / SELECT") {
+    val sql = fresh("dml")
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "x")
+      .createOrReplaceTempView("seed_sql1")
+    sql.exec("CREATE TABLE t AS SELECT * FROM seed_sql1")
+    assert(sql.exec("SELECT count(*) AS n FROM t").as[Long].head() == 2)
+    sql.exec("INSERT INTO t VALUES (3, 'c', 30.0), (4, 'd', 40.0)")
+    sql.exec("INSERT INTO t SELECT id + 10, name, x FROM seed_sql1")
+    assert(sql.exec("SELECT count(*) AS n FROM t").as[Long].head() == 6)
+    // multi-assignment UPDATE publishes as ONE version
+    val v0 = sql.ops.currentVersion("t")
+    sql.exec("UPDATE t SET name = upper(name), x = x * 2 WHERE id <= 2")
+    assert(sql.ops.currentVersion("t") == v0 + 1)
+    assert(sql.exec("SELECT name FROM t WHERE id = 1").as[String].head() == "A")
+    assert(sql.exec("SELECT x FROM t WHERE id = 2").as[Double].head() == 40.0)
+    sql.exec("DELETE FROM t WHERE id > 10")
+    assert(sql.exec("SELECT count(*) AS n FROM t").as[Long].head() == 4)
+  }
+
+  test("MERGE INTO: matched update + unmatched insert; insert-only variant") {
+    val sql = fresh("merge")
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v").createOrReplaceTempView("seed_sql2")
+    sql.exec("CREATE TABLE t AS SELECT * FROM seed_sql2")
+    sql.exec("""MERGE INTO t USING (SELECT id + 1 AS id, v * 10 AS v
+      FROM seed_sql2) ON id
+      WHEN MATCHED THEN UPDATE SET v
+      WHEN NOT MATCHED THEN INSERT ALL""")
+    val m = sql.exec("SELECT id, v FROM t ORDER BY id").as[(Long, Double)]
+      .collect().toSeq
+    assert(m == Seq((1L, 1.0), (2L, 10.0), (3L, 20.0)))
+    // insert-only merge: matched rows untouched, no file rewritten
+    sql.exec("""MERGE INTO t USING (SELECT id, v FROM t UNION ALL
+      SELECT 9 AS id, 9.0 AS v) ON id
+      WHEN NOT MATCHED THEN INSERT ALL""")
+    assert(sql.exec("SELECT count(*) AS n FROM t").as[Long].head() == 4)
+    assert(sql.exec("SELECT v FROM t WHERE id = 2").as[Double].head() == 10.0)
+  }
+
+  test("ALTER ADD/DROP COLUMN, TRUNCATE, views, DROP TABLE") {
+    val sql = fresh("ddl")
+    Seq((1L, 5.0)).toDF("id", "v").createOrReplaceTempView("seed_sql3")
+    sql.exec("CREATE TABLE t AS SELECT * FROM seed_sql3")
+    sql.exec("ALTER TABLE t ADD COLUMN flag DEFAULT cast(1 as int)")
+    assert(sql.exec("SELECT flag FROM t").as[Int].head() == 1)
+    sql.exec("ALTER TABLE t DROP COLUMN flag")
+    assert(!sql.exec("SELECT * FROM t").columns.contains("flag"))
+    sql.exec("CREATE VIEW big AS SELECT id FROM t WHERE v > 1.0")
+    assert(sql.ops.readView("big").count() == 1)
+    sql.exec("CREATE OR REPLACE VIEW big AS SELECT id FROM t WHERE v > 9.0")
+    assert(sql.ops.readView("big").count() == 0)
+    sql.exec("DROP VIEW big")
+    assert(!sql.ops.viewExists("big"))
+    sql.exec("TRUNCATE TABLE t")
+    assert(sql.exec("SELECT count(*) AS n FROM t").as[Long].head() == 0)
+    sql.exec("DROP TABLE t")
+    assert(sql.ops.listTables().isEmpty)
+  }
+
+  test("BEGIN/COMMIT: one atomic version, read-your-writes; ROLLBACK leaves no trace") {
+    val sql = fresh("tx")
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v").createOrReplaceTempView("seed_sql4")
+    sql.exec("CREATE TABLE t AS SELECT * FROM seed_sql4")
+    val v0 = sql.ops.currentVersion("t")
+    sql.exec("BEGIN")
+    sql.exec("INSERT INTO t VALUES (3, 3.0)")
+    // read-your-writes inside the transaction…
+    assert(sql.exec("SELECT count(*) AS n FROM t").as[Long].head() == 3)
+    sql.exec("UPDATE t SET v = v * 10 WHERE id = 3")
+    // …but other readers see nothing until COMMIT
+    assert(sql.ops.read("t").count() == 2)
+    assert(sql.ops.currentVersion("t") == v0)
+    sql.exec("COMMIT")
+    assert(sql.ops.currentVersion("t") == v0 + 1)
+    assert(sql.exec("SELECT v FROM t WHERE id = 3").as[Double].head() == 30.0)
+    // rollback
+    sql.exec("BEGIN")
+    sql.exec("DELETE FROM t WHERE id = 1")
+    sql.exec("ROLLBACK")
+    assert(sql.ops.read("t").count() == 3)
+    // a transaction binds to ONE table (cross-table atomicity = Catalog.tx)
+    Seq((1L, 1.0)).toDF("id", "v").createOrReplaceTempView("seed_sql4b")
+    sql.exec("CREATE TABLE u AS SELECT * FROM seed_sql4b")
+    sql.exec("BEGIN")
+    sql.exec("INSERT INTO t VALUES (4, 4.0)")
+    val e = intercept[IllegalArgumentException] {
+      sql.exec("INSERT INTO u VALUES (9, 9.0)")
+    }
+    assert(e.getMessage.contains("bound to table"))
+    sql.exec("ROLLBACK")
+    // statement errors outside any tx don't corrupt the session
+    intercept[IllegalStateException] { sql.exec("COMMIT") }
+  }
+}

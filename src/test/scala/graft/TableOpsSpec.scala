@@ -629,4 +629,114 @@ class TableOpsSpec extends AnyFunSuite {
     val vals = ops.read("t").select("note").as[String].collect().toSeq
     assert(vals == Seq("""it's "quoted""""))
   }
+
+  /** Four single-file inserts with disjoint id ranges — the manifest then
+    * carries four files with disjoint per-file id stats. */
+  private def rangedTable(tag: String): TableOps = {
+    val ops = new TableOps(spark, TestSpark.tmpDir(s"graft-tables-$tag"))
+    ops.create("t", (0L until 100L).map(i => (i, s"n$i", i * 1.0))
+      .toDF("id", "name", "score").coalesce(1))
+    (1 to 3).foreach { k =>
+      ops.insert("t", ((k * 100L) until (k * 100L + 100L))
+        .map(i => (i, s"n$i", i * 1.0)).toDF("id", "name", "score").coalesce(1))
+    }
+    ops
+  }
+
+  test("selective UPDATE plans from manifest stats: non-matching files are pruned without a scan") {
+    val ops = rangedTable("statsprune")
+    val before = liveNames(ops, "t")
+    assert(before.size == 4)
+    ops.update("t", col("id") === 250L, "score", lit(-1.0))
+    // metadata pruning kept exactly the one file whose [200,299] range
+    // covers 250; the other three were never candidates (no job, no open)
+    assert(ops.lastPlanCandidates == 1, s"candidates=${ops.lastPlanCandidates}")
+    assert(ops.lastPlanPruned == 3, s"pruned=${ops.lastPlanPruned}")
+    val after = liveNames(ops, "t")
+    assert((before -- after).size == 1, "exactly one file rewritten")
+    assert(ops.read("t").filter(col("id") === 250L).select("score")
+      .as[Double].head() == -1.0)
+    assert(ops.read("t").count() == 400)
+    // a predicate matching nothing prunes EVERYTHING: zero candidates,
+    // zero Spark jobs, version still advances with all files carried
+    ops.delete("t", col("id") === 10000L)
+    assert(ops.lastPlanCandidates == 0 && ops.lastPlanPruned == 4)
+    assert(ops.read("t").count() == 400)
+    // conjunctions and ranges prune too
+    ops.update("t", col("id") >= 350L && col("name") === "n399", "score", lit(0.0))
+    assert(ops.lastPlanCandidates == 1 && ops.lastPlanPruned == 3)
+  }
+
+  test("MERGE prunes matched-file candidates by the source key range, one source pass") {
+    val ops = rangedTable("statsmerge")
+    val before = liveNames(ops, "t")
+    // source keys all in [120, 130): only the second file can hold matches
+    val src = (120L until 130L).map(i => (i, s"m$i", -i * 1.0))
+      .toDF("id", "name", "score")
+    ops.merge("t", src, "id", Seq("name", "score"))
+    assert(ops.lastPlanCandidates == 1, s"candidates=${ops.lastPlanCandidates}")
+    assert(ops.lastPlanPruned == 3, s"pruned=${ops.lastPlanPruned}")
+    assert((before -- liveNames(ops, "t")).size == 1)
+    assert(ops.read("t").filter(col("id") === 125L).select("name")
+      .as[String].head() == "m125")
+    assert(ops.read("t").count() == 400) // all matched, none inserted
+    // the folded cardinality check still fails fast on duplicate keys
+    val dup = Seq((1L, "x", 0.0), (1L, "y", 0.0)).toDF("id", "name", "score")
+    val e = intercept[IllegalArgumentException] {
+      ops.merge("t", dup, "id", Seq("name"))
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("scanWhere: point lookup opens ONLY stat-matching files, incl. after compact+expire") {
+    val ops = rangedTable("statslookup")
+    val hit = ops.scanWhere("t", col("id") === 42L)
+    assert(hit.inputFiles.length == 1, s"opened ${hit.inputFiles.length} files")
+    assert(hit.select("name").as[String].head() == "n42")
+    assert(ops.lastPlanPruned == 3)
+    // range lookup across two files
+    val range = ops.scanWhere("t", col("id") >= 190L && col("id") < 210L)
+    assert(range.inputFiles.length == 2)
+    assert(range.count() == 20)
+    // nothing matches → zero files, empty result, schema intact
+    val none = ops.scanWhere("t", col("id") === -5L)
+    assert(none.inputFiles.length == 0 && none.count() == 0)
+    assert(none.columns.toSeq == Seq("id", "name", "score"))
+    // string-stats lookups prune as well (names sort n0..n99 per file? no —
+    // disjoint per-file ID ranges give overlapping name ranges, so this
+    // only pins correctness, not pruning)
+    assert(ops.scanWhere("t", col("name") === "n250").count() == 1)
+    // after sort-clustered compaction + expire, fresh stats keep pruning
+    ops.compactTable("t", targetFileBytes = 4L * 1024, sortBy = Seq("id"))
+    ops.expire("t", 1)
+    val total = ops.read("t").inputFiles.length
+    val one = ops.scanWhere("t", col("id") === 123L)
+    assert(total > 1, s"compaction produced $total files")
+    assert(one.inputFiles.length == 1)
+    assert(one.select("name").as[String].head() == "n123")
+  }
+
+  test("writes conform to the table's read schema (SQL column-type contract)") {
+    val ops = new TableOps(spark, TestSpark.tmpDir("graft-conform"))
+    ops.create("t", Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
+    // an insert arriving as int/decimal must adopt bigint/double — files in
+    // one manifest group share ONE parquet schema, or a decimal file's
+    // unscaled integers would be silently read as doubles
+    ops.insert("t", spark.sql("SELECT * FROM VALUES (3, 3.0)").toDF("id", "v"))
+    assert(ops.read("t").schema.map(_.dataType.simpleString) ==
+      Seq("bigint", "double"))
+    // the same inside a transaction, composed with an update over the
+    // staged row (the shape that originally read 3.0*10 back as 300.0)
+    ops.tx("t") { tx =>
+      tx.insert(spark.sql("SELECT * FROM VALUES (4, 4.0)").toDF("id", "v"))
+      tx.update(col("id") === 4L, "v", col("v") * 10)
+    }
+    assert(ops.read("t").orderBy("id").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 40.0)))
+    // merge with an int-typed source conforms too
+    ops.merge("t", spark.sql("SELECT * FROM VALUES (4, 9.0), (5, 5.0)")
+      .toDF("id", "v"), "id", Seq("v"))
+    assert(ops.read("t").orderBy("id").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 9.0), (5L, 5.0)))
+  }
 }
