@@ -42,15 +42,37 @@ object CodeTokenizer {
   @inline private def toLowerAscii(c: Char): Char =
     if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
 
+  /** Opt-in Unicode mode (the non-ASCII-corpus escape hatch the ASCII
+    * contract above points to): the whole string is lowercased with the
+    * JDK's ROOT-locale full case mapping — the same fold Spark's `lower()`
+    * applies — and token characters are Unicode letters plus [0-9_]. The
+    * SQL twin both engines agree on is
+    * `split(lower(s), '[^\p{L}0-9_]+')` + length 2..64 (TokenizerSpec pins
+    * it property-style over a mixed-script corpus). Token length counts
+    * UTF-16 code units, so the agreement contract covers the BMP;
+    * supplementary-plane letters count 2 here vs 1 in engines that count
+    * code points. ASCII stays the default: on pure-ASCII input both modes
+    * tokenize identically, but the ASCII scan is the allocation-lean hot
+    * path (no full-string lowercase pass). */
+  @inline private def isUniTokenChar(c: Char): Boolean =
+    (c >= '0' && c <= '9') || c == '_' || Character.isLetter(c)
+
+  @inline private def keepChar(c: Char, unicode: Boolean): Boolean =
+    if (unicode) isUniTokenChar(c) else isTokenChar(c)
+
   /** All kept tokens of `content`, in document order. */
-  def tokenize(content: String): mutable.ArrayBuffer[String] = {
-    val out = new mutable.ArrayBuffer[String](content.length / 6 + 4)
-    val n = content.length
+  def tokenize(content: String,
+      unicodeFold: Boolean = false): mutable.ArrayBuffer[String] = {
+    val s = if (unicodeFold) content.toLowerCase(java.util.Locale.ROOT)
+            else content
+    val out = new mutable.ArrayBuffer[String](s.length / 6 + 4)
+    val n = s.length
     var i = 0
     val sb = new java.lang.StringBuilder(32)
     while (i < n) {
-      val c = content.charAt(i)
-      if (isTokenChar(c)) sb.append(toLowerAscii(c))
+      val c = s.charAt(i)
+      if (keepChar(c, unicodeFold))
+        sb.append(if (unicodeFold) c else toLowerAscii(c))
       else {
         val len = sb.length
         if (len >= MinLen && len <= MaxLen) out += sb.toString
@@ -67,34 +89,40 @@ object CodeTokenizer {
     * Single pass via TokenCounter: allocates one String per DISTINCT term
     * (not per occurrence) — tokenization is the engine's hottest path and
     * allocation rate is what limits thread scaling in a shared JVM. */
-  def termFreqs(content: String): (mutable.HashMap[String, Int], Int) = {
-    val (c, dl) = termFreqsRaw(content)
+  def termFreqs(content: String,
+      unicodeFold: Boolean = false): (mutable.HashMap[String, Int], Int) = {
+    val (c, dl) = termFreqsRaw(content, unicodeFold)
     (c.toMap, dl)
   }
 
   /** Allocation-lean variant: exposes the counter directly. */
-  def termFreqsRaw(content: String): (TokenCounter, Int) = {
+  def termFreqsRaw(content: String,
+      unicodeFold: Boolean = false): (TokenCounter, Int) = {
     val counter = new TokenCounter
-    val dl = scan(content, counter)
+    val dl = scan(content, counter, unicodeFold)
     (counter, dl)
   }
 
   /** Token count only (document length); allocation-free. */
-  def docLength(content: String): Int = scan(content, null)
+  def docLength(content: String, unicodeFold: Boolean = false): Int =
+    scan(content, null, unicodeFold)
 
   /** Core scan: counts kept tokens; if `counter` non-null, also tallies
     * term frequencies without allocating per-occurrence Strings. */
-  private def scan(content: String, counter: TokenCounter): Int = {
-    val n = content.length
+  private def scan(content: String, counter: TokenCounter,
+      unicode: Boolean = false): Int = {
+    val s = if (unicode) content.toLowerCase(java.util.Locale.ROOT)
+            else content
+    val n = s.length
     val buf = new Array[Char](MaxLen + 1)
     var len = 0
     var dl = 0
     var i = 0
     while (i <= n) {
-      val c = if (i < n) content.charAt(i) else ' '
-      if (isTokenChar(c)) {
+      val c = if (i < n) s.charAt(i) else ' '
+      if (keepChar(c, unicode)) {
         if (len <= MaxLen) { // overlong tokens: stop copying, keep counting
-          if (len < MaxLen + 1) buf(len) = toLowerAscii(c)
+          if (len < MaxLen + 1) buf(len) = if (unicode) c else toLowerAscii(c)
         }
         len += 1
       } else if (len > 0) {

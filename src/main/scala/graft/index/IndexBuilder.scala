@@ -47,7 +47,13 @@ final case class IndexConfig(
     // byte-bound, so the pack/merge CPU (~15-25% of the postings stage) is
     // pure overhead there). Output is bit-identical either way (pinned by
     // IndexSpec).
-    packRuns: Boolean = true) {
+    packRuns: Boolean = true,
+    // Unicode tokenizer fold (CodeTokenizer's opt-in mode) for non-ASCII
+    // corpora: Unicode letters become token characters after a ROOT-locale
+    // full lowercase — identical on pure-ASCII input, where the default
+    // ASCII scan stays the hot path. Index-wide: build, query parsing, and
+    // the sequential oracle must agree on it.
+    unicodeFold: Boolean = false) {
   def keymapPath: String = s"$indexDir/keymap"
   def forwardPath: String = s"$indexDir/forward"
   def vocabPath: String = s"$indexDir/vocab"
@@ -210,12 +216,13 @@ object IndexBuilder {
     // (terms[], tfs[]) crosses the network, as compact Tungsten rows.
     if (!manifest.isComplete("forward", fp)) {
       val t0 = System.nanoTime()
+      val uniFold = cfg.unicodeFold // plain val into the task closure
       val pre: Dataset[PreDoc] = corpus.mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
         val pt0 = System.nanoTime()
         var rows = 0L; var toks = 0L
         val mapped = it.map { sf =>
-          val (tf, dl) = CodeTokenizer.termFreqsRaw(sf.content)
+          val (tf, dl) = CodeTokenizer.termFreqsRaw(sf.content, uniFold)
           val nTerms = tf.size
           val terms = new Array[String](nTerms)
           val tfs = new Array[Int](nTerms)
@@ -481,7 +488,28 @@ object IndexBuilder {
           }
         }
       }
-    blocks.write.mode("overwrite").parquet(outPath)
+    // ---- final layout: RANGE-partitioned on termId (round 6) --------------
+    // The encode shuffle hash-partitions on (termId, salt), so every output
+    // file would span the whole termId range and a term lookup must open
+    // every file (row-group min/max pruning only fires inside them). One
+    // extra pass over the PACKED blocks (~5 B/posting — a fraction of the
+    // encode shuffle) rewrites them range-partitioned and sorted on
+    // (termId, shard, blockIdx): each parquet file covers a narrow
+    // contiguous termId slice, so a query's terms resolve to O(1) files out
+    // of all of them — the Searcher prunes on footer stats
+    // (postingsFilesFor) and IndexSpec pins it. Two-phase because
+    // repartitionByRange samples its child: sampling the written parquet
+    // costs one cheap scan, sampling the un-materialized encode lineage
+    // would re-run the whole explode+join+pack map side.
+    val unranged = s"$outPath.unranged"
+    blocks.write.mode("overwrite").parquet(unranged)
+    spark.read.parquet(unranged)
+      .repartitionByRange(parts * 4, $"termId", $"shard", $"blockIdx")
+      .sortWithinPartitions($"termId", $"shard", $"blockIdx")
+      .write.mode("overwrite").parquet(outPath)
+    val hconf = spark.sessionState.newHadoopConf()
+    val up = new org.apache.hadoop.fs.Path(unranged)
+    up.getFileSystem(hconf).delete(up, true)
     spark.read.parquet(outPath).count()
   }
 

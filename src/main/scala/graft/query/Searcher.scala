@@ -160,9 +160,9 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
     else None
   }
 
-  /** Canonical query terms: tokenize, dedupe, sort. */
+  /** Canonical query terms: tokenize, dedupe, sort (the index's fold). */
   def queryTerms(query: String): Array[String] =
-    CodeTokenizer.tokenize(query).distinct.sorted.toArray
+    CodeTokenizer.tokenize(query, cfg.unicodeFold).distinct.sorted.toArray
 
   /** term -> (termId, df, maxTfNorm, nBlocks) for the present query terms.
     * A map lookup when either driver-side lexicon is active (no Spark
@@ -182,9 +182,10 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
     }
 
   /** Postings cached in memory when the index is small/hot (≤ 1M block
-    * rows ≈ a few hundred MB); larger indexes stay on parquet where the
-    * termId filter prunes row groups via min/max stats. */
-  private lazy val postingsDF = {
+    * rows ≈ a few hundred MB); larger indexes stay on parquet where
+    * FILE-level footer pruning (postingsFilesFor) plus row-group min/max
+    * stats bound a term lookup to O(1) files of the ranged layout. */
+  private lazy val (postingsDF, postingsCached) = {
     val df = spark.read.parquet(cfg.postingsPath)
     val nBlocks = new graft.checkpoint.Manifest(cfg.indexDir)
       .get("postings").map(_.rows).getOrElse(Long.MaxValue)
@@ -192,14 +193,62 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
       val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       c.count()
       cleanups.add(() => { c.unpersist(); () })
-      c
-    } else df
+      (c, true)
+    } else (df, false)
   }
 
-  private def blocksFor(termIds: Array[Int]): Dataset[PostingBlockRow] =
-    postingsDF
-      .filter($"termId".isin(termIds.toSeq: _*))
-      .as[PostingBlockRow]
+  /** Per-file [min,max] termId from parquet FOOTERS, read once per Searcher
+    * (metadata-sized: one footer per file, collected driver-side). The
+    * encode pipeline range-partitions the final postings layout on termId,
+    * so these ranges are narrow and near-disjoint — the file-level index
+    * the IndexScan path prunes with. Files written by appends (merged
+    * unranged) or missing stats degrade to [MinValue,MaxValue]: never
+    * pruned, still correct. */
+  private lazy val postingsFileRanges: Seq[(String, Int, Int)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(cfg.postingsPath)
+    val fs = dir.getFileSystem(conf)
+    fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val ranges = scala.util.Try {
+          val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+          try r.getFooter.getBlocks.asScala.toSeq.flatMap { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == "termId")
+              .flatMap { c =>
+                val s = c.getStatistics
+                if (s == null || !s.hasNonNullValue) None
+                else Some((s.genericGetMin.asInstanceOf[Number].intValue(),
+                  s.genericGetMax.asInstanceOf[Number].intValue()))
+              }
+          } finally r.close()
+        }.getOrElse(Seq.empty)
+        if (ranges.isEmpty) (st.getPath.toString, Int.MinValue, Int.MaxValue)
+        else (st.getPath.toString, ranges.map(_._1).min, ranges.map(_._2).max)
+      }
+  }
+
+  /** The postings files a set of terms can live in (file-level IndexScan
+    * prune; package-visible so IndexSpec pins the O(1)-files property). */
+  private[graft] def postingsFilesFor(termIds: Array[Int]): Seq[String] =
+    postingsFileRanges.collect {
+      case (p, mn, mx) if termIds.exists(t => t >= mn && t <= mx) => p
+    }
+
+  private def blocksFor(termIds: Array[Int]): Dataset[PostingBlockRow] = {
+    val base =
+      if (postingsCached) postingsDF // already in memory — nothing to prune
+      else {
+        val sel = postingsFilesFor(termIds)
+        if (sel.isEmpty) return spark.emptyDataset[PostingBlockRow]
+        else if (sel.size == postingsFileRanges.size) postingsDF
+        else spark.read.parquet(sel: _*)
+      }
+    base.filter($"termId".isin(termIds.toSeq: _*)).as[PostingBlockRow]
+  }
 
   /** Full BM25 scores of every matching document (no k cutoff); exact and
     * deterministic. Returned unsorted — callers order as needed. */

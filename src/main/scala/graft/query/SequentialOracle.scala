@@ -20,16 +20,16 @@ import graft.model.{BM25Params, ScoredDoc, SourceFile}
   * DESC, docId ASC).
   */
 final class SequentialOracle(corpus: Seq[SourceFile],
-    params: BM25Params = BM25Params()) {
+    params: BM25Params = BM25Params(), unicodeFold: Boolean = false) {
 
   private val sorted: Vector[SourceFile] =
     corpus.sortBy(f => (f.repo, f.path, f.commit)).toVector
   val numDocs: Long = sorted.length.toLong
 
   private val termFreqs: Vector[mutable.HashMap[String, Int]] =
-    sorted.map(f => CodeTokenizer.termFreqs(f.content)._1)
+    sorted.map(f => CodeTokenizer.termFreqs(f.content, unicodeFold)._1)
   private val docLens: Vector[Int] =
-    sorted.map(f => CodeTokenizer.docLength(f.content))
+    sorted.map(f => CodeTokenizer.docLength(f.content, unicodeFold))
   val avgDl: Double = docLens.map(_.toLong).sum.toDouble / math.max(numDocs, 1L)
 
   private val df: mutable.HashMap[String, Long] = {
@@ -43,7 +43,7 @@ final class SequentialOracle(corpus: Seq[SourceFile],
   }
 
   def score(query: String, docId: Long): Double = {
-    val terms = CodeTokenizer.tokenize(query).distinct.sorted
+    val terms = CodeTokenizer.tokenize(query, unicodeFold).distinct.sorted
     val tf = termFreqs(docId.toInt)
     val dl = docLens(docId.toInt)
     var s = 0.0
@@ -57,7 +57,7 @@ final class SequentialOracle(corpus: Seq[SourceFile],
   }
 
   def topK(query: String, k: Int): Vector[ScoredDoc] = {
-    val terms = CodeTokenizer.tokenize(query).distinct.sorted.filter(df.contains)
+    val terms = CodeTokenizer.tokenize(query, unicodeFold).distinct.sorted.filter(df.contains)
     if (terms.isEmpty) return Vector.empty
     val hits = (0L until numDocs)
       .map(d => ScoredDoc(d, score(query, d)))

@@ -559,28 +559,40 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
       cond: Column, rewrite: DataFrame => DataFrame): VersionManifest = {
     var kept = Seq.empty[Group]
     var hitDfs = Seq.empty[DataFrame]
-    var nCand = 0
-    var nPruned = 0
     val resolved = m.groups.headOption.flatMap(g0 =>
       resolvePredicate(readGroup(table, g0, m.columns), cond))
-    m.groups.foreach { g =>
+    val planned = m.groups.map { g =>
       val (cands, pruned) = pruneByStats(g, resolved)
-      nCand += cands.size; nPruned += pruned.size
-      if (pruned.nonEmpty)
-        kept :+= Group(pruned, g.fills, g.stats.filter(s => pruned.contains(s._1)))
-      if (cands.nonEmpty) {
+      (g, cands, pruned)
+    }
+    lastPlanCandidates = planned.map(_._2.size).sum
+    lastPlanPruned = planned.map(_._3.size).sum
+    // the affected-file detection is one blocking Spark action per schema
+    // group — submit them CONCURRENTLY (the cluster interleaves the jobs),
+    // then fold results back in deterministic group order
+    import scala.concurrent.{Await, Future}
+    val affectedF = planned.map { case (g, cands, _) =>
+      if (cands.isEmpty) Future.successful(Set.empty[String])
+      else Future {
         var df = spark.read.parquet(cands.map(p => s"$root/$table/$p"): _*)
           .withColumn("__file", input_file_name())
         g.fills.foreach { case (c, sql) => df = df.withColumn(c, expr(sql)) }
-        val affected = df.filter(coalesce(cond, lit(false)))
+        df.filter(coalesce(cond, lit(false)))
           .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
+      }(TableOps.groupScanPool)
+    }
+    planned.zip(affectedF).foreach { case ((g, cands, pruned), aF) =>
+      if (pruned.nonEmpty)
+        kept :+= Group(pruned, g.fills, g.stats.filter(s => pruned.contains(s._1)))
+      if (cands.nonEmpty) {
+        val affected =
+          Await.result(aF, scala.concurrent.duration.Duration.Inf)
         val (hit, unhit) = cands.partition(p => affected.exists(_.endsWith(p)))
         if (unhit.nonEmpty)
           kept :+= Group(unhit, g.fills, g.stats.filter(s => unhit.contains(s._1)))
         if (hit.nonEmpty) hitDfs :+= readGroup(table, g.copy(paths = hit), m.columns)
       }
     }
-    lastPlanCandidates = nCand; lastPlanPruned = nPruned
     val groups =
       if (hitDfs.isEmpty) kept
       else {
@@ -786,8 +798,6 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
     val srcKeys = src.select(col(key))
     var kept = Seq.empty[Group]
     var hitDfs = Seq.empty[DataFrame]
-    var nCand = 0
-    var nPruned = 0
     // insert-only merge (no setCols): a matched row is a no-op, so skip
     // the matched-file scan entirely — no file is rewritten, only the
     // anti-join insert half runs
@@ -796,25 +806,41 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
       g0 <- m.groups.headOption
       e <- resolvePredicate(readGroup(table, g0, m.columns), r)
     } yield e
-    if (setCols.isEmpty) kept = m.groups
-    else m.groups.foreach { g =>
-      val (cands, pruned) = pruneByStats(g, resolvedRange)
-      nCand += cands.size; nPruned += pruned.size
-      if (pruned.nonEmpty)
-        kept :+= Group(pruned, g.fills, g.stats.filter(s => pruned.contains(s._1)))
-      if (cands.nonEmpty) {
-        var df = spark.read.parquet(cands.map(p => s"$root/$table/$p"): _*)
-          .withColumn("__file", input_file_name())
-        g.fills.foreach { case (c, sql) => df = df.withColumn(c, expr(sql)) }
-        val affected = df.join(srcKeys, Seq(key), "left_semi")
-          .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
-        val (hit, unhit) = cands.partition(p => affected.exists(_.endsWith(p)))
-        if (unhit.nonEmpty)
-          kept :+= Group(unhit, g.fills, g.stats.filter(s => unhit.contains(s._1)))
-        if (hit.nonEmpty) hitDfs :+= readGroup(table, g.copy(paths = hit), m.columns)
+    if (setCols.isEmpty) {
+      kept = m.groups
+      lastPlanCandidates = 0; lastPlanPruned = 0
+    } else {
+      val planned = m.groups.map { g =>
+        val (cands, pruned) = pruneByStats(g, resolvedRange)
+        (g, cands, pruned)
+      }
+      lastPlanCandidates = planned.map(_._2.size).sum
+      lastPlanPruned = planned.map(_._3.size).sum
+      // concurrent per-group matched-file detection, like applyMutate
+      import scala.concurrent.{Await, Future}
+      val affectedF = planned.map { case (g, cands, _) =>
+        if (cands.isEmpty) Future.successful(Set.empty[String])
+        else Future {
+          var df = spark.read.parquet(cands.map(p => s"$root/$table/$p"): _*)
+            .withColumn("__file", input_file_name())
+          g.fills.foreach { case (c, sql) => df = df.withColumn(c, expr(sql)) }
+          df.join(srcKeys, Seq(key), "left_semi")
+            .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
+        }(TableOps.groupScanPool)
+      }
+      planned.zip(affectedF).foreach { case ((g, cands, pruned), aF) =>
+        if (pruned.nonEmpty)
+          kept :+= Group(pruned, g.fills, g.stats.filter(s => pruned.contains(s._1)))
+        if (cands.nonEmpty) {
+          val affected =
+            Await.result(aF, scala.concurrent.duration.Duration.Inf)
+          val (hit, unhit) = cands.partition(p => affected.exists(_.endsWith(p)))
+          if (unhit.nonEmpty)
+            kept :+= Group(unhit, g.fills, g.stats.filter(s => unhit.contains(s._1)))
+          if (hit.nonEmpty) hitDfs :+= readGroup(table, g.copy(paths = hit), m.columns)
+        }
       }
     }
-    lastPlanCandidates = nCand; lastPlanPruned = nPruned
     // matched rows: source values for setCols, keyed by an explicit marker
     // (NOT coalesce — a legitimately-NULL source value must win)
     val marked = src.select(col(key) +: setCols.map(c =>
@@ -1196,4 +1222,18 @@ object TableOps {
     * any plausible in-flight commit, so the default orientation is safe
     * against a live writer (tests pass 0L explicitly). */
   val DefaultVacuumAgeMs: Long = 24L * 3600 * 1000
+
+  /** Pool for CONCURRENT per-schema-group affected-file scans during
+    * mutations (each scan is a driver-blocking Spark action; submitting
+    * them from one thread serializes cluster time group-by-group). Shared,
+    * daemon, bounded: job submission is cheap — the cluster schedules the
+    * actual work — so a small pool suffices. */
+  private[sources] lazy val groupScanPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(8,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-group-scan")
+          t.setDaemon(true)
+          t
+        }))
 }

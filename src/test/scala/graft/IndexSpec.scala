@@ -275,4 +275,45 @@ class IndexSpec extends AnyFunSuite {
     assert(metrics.filter($"stage" === "postings").count() > 0)
     assert(metrics.agg(sum($"rows")).as[Long].head() > 0L)
   }
+
+  test("postings layout is termId-ranged: a term lookup touches O(1) files") {
+    built
+    // per-FILE termId ranges are contiguous and non-overlapping (a termId
+    // whose blocks straddle a partition boundary may share it — nothing
+    // else may): the property that makes footer stats a file-level index.
+    // Read each file individually — a whole-dir read would be cache-
+    // substituted by the searcher's persisted postingsDF, where
+    // input_file_name() is empty.
+    val postFiles = new java.io.File(cfg(indexDir).postingsPath)
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.toString)
+    val perFile = postFiles.map { f =>
+      val r = spark.read.parquet(f).agg(min($"termId"), max($"termId"))
+        .as[(Int, Int)].head()
+      (f, r._1, r._2)
+    }.sortBy(_._2)
+    assert(perFile.length > 4, s"want a multi-file layout, got ${perFile.length}")
+    perFile.sliding(2).foreach {
+      case Array((fa, _, aMx), (fb, bMn, _)) =>
+        assert(bMn >= aMx, s"file ranges overlap: $fa [..,$aMx] vs $fb [$bMn,..]")
+      case _ => ()
+    }
+    // the Searcher's footer index selects ≤ 2 files per term (2 = boundary
+    // straddle), and those files hold ALL of the term's blocks (no misses)
+    val allBlocks = spark.read.parquet(cfg(indexDir).postingsPath)
+    val someTerms = spark.read.parquet(cfg(indexDir).vocabPath)
+      .select($"termId").as[Int].collect().sorted
+      .grouped(math.max(1, built.vocabSize.toInt / 20)).map(_.head).toSeq
+    someTerms.foreach { t =>
+      val sel = searcher.postingsFilesFor(Array(t))
+      assert(sel.size <= 2, s"term $t maps to ${sel.size} files")
+      val total = allBlocks.filter($"termId" === t).count()
+      val inSel =
+        if (sel.isEmpty) 0L
+        else spark.read.parquet(sel: _*).filter($"termId" === t).count()
+      assert(inSel == total, s"term $t: selected files hold $inSel/$total blocks")
+    }
+    // a multi-term query still prunes to a small file subset
+    val q = someTerms.take(3).toArray
+    assert(searcher.postingsFilesFor(q).size <= 6)
+  }
 }
