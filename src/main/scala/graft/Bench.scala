@@ -144,10 +144,26 @@ object Bench {
     val newOps = Seq("q79_dedup_components", "q81_stream_join",
       "q82_embedding_components", "q84_json_roundtrip",
       "q85_transaction", "q86_merge_upsert", "q87_stream_dedup",
-      "q88_compact", "q89_stream_ingest", "q90_catalog_tx")
+      "q88_compact", "q89_stream_ingest", "q90_catalog_tx",
+      "q91_point_lookup", "q92_sql_session")
     val extras = newOps.map { name =>
       val fn = SparkEntry.queries(name)
       name -> (1 to 2).map(_ => secs { fn(spark, sfDir).count() }).min
+    } ++ {
+      // TPC-C-shaped OLTP throughput (reference tpcc_benchmark.cpp:58):
+      // q93's 16-txn serial replay, plus a 4-writer concurrent payment
+      // loop with OCC retries — txns/sec is the reference's unit
+      val t93 = secs { SparkEntry.queries("q93_tpcc")(spark, sfDir).count() }
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft-bench-tpcc"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val tpcc = new graft.workload.Tpcc(spark,
+        new graft.sources.Catalog(spark, root))
+      tpcc.setup()
+      val (n, retries, ms) = tpcc.runConcurrentPayments(4, 4,
+        (ti, i) => (ti * 4 + i + 1).toDouble)
+      Seq("q93_tpcc" -> t93,
+        "tpcc_txns_per_sec" -> n.toDouble / (ms / 1000.0),
+        "tpcc_occ_retries" -> retries.toDouble)
     }
     val extrasJson = extras.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
       .mkString("{", ",", "}")

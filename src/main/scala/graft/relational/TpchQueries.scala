@@ -810,6 +810,23 @@ object TpchQueries {
       sqlDoor.exec("SELECT * FROM t ORDER BY o_orderkey")
     }),
 
+    // --- TPC-C-shaped multi-table OLTP over Catalog.tx (reference
+    //     integration anchor: tpcc_test.cpp / tpcc_benchmark.cpp:58 —
+    //     NewOrder + Payment over warehouse/district/customer/orders as
+    //     atomic multi-table transactions). Parameters derive
+    //     deterministically from the TPC-H orders table, so the oracle
+    //     replays the net effect in SQL: per-district order counts,
+    //     ROW_NUMBER order-id checksums, and ytd/balance sums.
+    "q93_tpcc" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft-dml-" +
+        d.replaceAll("[^a-zA-Z0-9]", "_") + "-q93"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val tpcc = new graft.workload.Tpcc(s, new graft.sources.Catalog(s, root))
+      tpcc.setup()
+      tpcc.runFromOrders(t(s, d, "orders"), 16)
+      tpcc.finalStateByDistrict()
+    }),
+
     // --- MERGE INTO / upsert-by-key (reference Insert/InsertSelect +
     //     Update, logical_operators.h:718,801,995; the incremental-ingest
     //     shape): matched keys take the source's o_totalprice (file-pruned
@@ -1285,6 +1302,41 @@ object TpchQueries {
         |SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd
         |WHERE o_totalprice <= 300000.0
         |ORDER BY o_orderkey""".stripMargin,
+    "q93_tpcc" ->
+      """WITH txn AS (
+        |  SELECT o_orderkey,
+        |    o_custkey % 2 AS w, o_custkey % 3 AS d,
+        |    o_orderkey % 2 AS typ,
+        |    CAST(CAST(floor(o_totalprice) AS BIGINT) % 500 + 1 AS DOUBLE) AS amt,
+        |    o_orderkey % 10 + 1 AS ol_cnt
+        |  FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 16)),
+        |no_txn AS (
+        |  SELECT w, d, count(*) AS n_orders,
+        |    CAST(sum(ol_cnt) AS BIGINT) AS sum_ol_cnt,
+        |    CAST(sum(oid) AS BIGINT) AS sum_o_id
+        |  FROM (SELECT w, d, ol_cnt,
+        |          row_number() OVER (PARTITION BY w, d ORDER BY o_orderkey) AS oid
+        |        FROM txn WHERE typ = 0)
+        |  GROUP BY w, d),
+        |pay AS (SELECT w, d, count(*) AS n_payments, sum(amt) AS d_ytd
+        |        FROM txn WHERE typ = 1 GROUP BY w, d),
+        |wpay AS (SELECT w, sum(amt) AS w_ytd FROM txn WHERE typ = 1 GROUP BY w),
+        |grid AS (SELECT gw.range AS w, gd.range AS d
+        |         FROM range(0, 2) gw CROSS JOIN range(0, 3) gd)
+        |SELECT g.w, g.d,
+        |  1 + coalesce(no_txn.n_orders, 0) AS next_o_id,
+        |  CAST(coalesce(pay.d_ytd, 0) AS DOUBLE) AS d_ytd,
+        |  CAST(coalesce(wpay.w_ytd, 0) AS DOUBLE) AS w_ytd,
+        |  coalesce(no_txn.n_orders, 0) AS n_orders,
+        |  coalesce(no_txn.sum_ol_cnt, 0) AS sum_ol_cnt,
+        |  coalesce(no_txn.sum_o_id, 0) AS sum_o_id,
+        |  CAST(-coalesce(pay.d_ytd, 0) AS DOUBLE) AS c_balance_sum,
+        |  coalesce(pay.n_payments, 0) AS n_payments
+        |FROM grid g
+        |LEFT JOIN no_txn ON no_txn.w = g.w AND no_txn.d = g.d
+        |LEFT JOIN pay ON pay.w = g.w AND pay.d = g.d
+        |LEFT JOIN wpay ON wpay.w = g.w
+        |ORDER BY g.w, g.d""".stripMargin,
     "q90_catalog_tx" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey < 100 THEN o_totalprice * 2

@@ -119,11 +119,12 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
       require(pairs.nonEmpty, "UPDATE needs at least one assignment")
       val c = expr(cond)
       dml(table, "UPDATE",
-        tx => pairs.foreach { case (n, v) => tx.update(c, n, v) },
+        tx => tx.updateSet(c, pairs), // one scan+rewrite pass, SQL
+        // simultaneous-assignment semantics (values see the pre-update row)
         () =>
           if (pairs.size == 1) ops.update(table, c, pairs.head._1, pairs.head._2)
           // several assignments publish as ONE version via a transaction
-          else ops.tx(table)(tx => pairs.foreach { case (n, v) => tx.update(c, n, v) }))
+          else ops.tx(table)(tx => tx.updateSet(c, pairs)))
     case Delete(table, cond) =>
       dml(table, "DELETE", tx => tx.delete(expr(cond)),
         () => ops.delete(table, expr(cond)))

@@ -292,82 +292,136 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
 
   /** Per-file min/max/null-count for every stats-eligible column of a
     * freshly written dir (see [[FileStats]]). */
+  /** Per-file column stats for a freshly written dir, read from the parquet
+    * FOOTERS the writer already produced — metadata-only driver work (one
+    * footer open per file, ~ms), where a Spark aggregation job per write
+    * used to dominate small-transaction latency. Decodes each primitive +
+    * logical type to the SAME canonical encodings [[StatsPruner]] compares
+    * (see [[FileStats]]). Anything it cannot decode safely is simply
+    * omitted — an absent bound is never-pruned, always correct:
+    *   - float/double bounds are SKIPPED: parquet writers may record
+    *     NaN-free min/max for columns containing NaN, which Spark orders
+    *     ABOVE every number — trusting them could prune a file that
+    *     matches (null counts are still kept);
+    *   - INT96 timestamps carry no usable stats;
+    *   - string bounds go through the Iceberg-style 64-char truncation
+    *     (min truncates down, max bumps up), and multi-row-group string
+    *     bounds reduce in parquet's unsigned-byte order. */
   private def collectStats(dir: String, sub: String): Map[String, FileStats] = {
-    import org.apache.spark.sql.types._
-    val snap = spark.read.parquet(dir)
-    val eligible = snap.schema.fields.filter(f => statsEligible(f.dataType))
-    val aggs = count(lit(1)).as("__rows") +: eligible.flatMap { f =>
-      Seq(min(col(f.name)).as(s"${f.name}__mn"),
-        max(col(f.name)).as(s"${f.name}__mx"),
-        coalesce(sum(col(f.name).isNull.cast("long")), lit(0L))
-          .as(s"${f.name}__nl"))
-    }.toSeq
-    snap.groupBy(input_file_name().as("__f"))
-      .agg(aggs.head, aggs.tail: _*).collect().map { r =>
-        val full = r.getAs[String]("__f")
-        val name = full.substring(full.lastIndexOf('/') + 1)
-        val cols = eligible.map { f =>
-          f.name -> ColStats(f.dataType.simpleString,
-            encodeStat(r.getAs[Any](s"${f.name}__mn"), f.dataType, isMin = true),
-            encodeStat(r.getAs[Any](s"${f.name}__mx"), f.dataType, isMin = false),
-            r.getAs[Long](s"${f.name}__nl"))
-        }.toMap
-        s"$sub/$name" -> FileStats(r.getAs[Long]("__rows"), cols)
-      }.toMap
-  }
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
 
-  private def statsEligible(dt: org.apache.spark.sql.types.DataType): Boolean = {
-    import org.apache.spark.sql.types._
-    dt match {
-      case ByteType | ShortType | IntegerType | LongType | FloatType |
-           DoubleType | StringType | BooleanType | DateType |
-           TimestampType | TimestampNTZType => true
-      case _: DecimalType => true
-      case _ => false
+    /** (spark simpleString, decode-to-comparable, compare, encode-canonical)
+      * for a primitive column; None = not stats-eligible. */
+    def domainOf(pt: org.apache.parquet.schema.PrimitiveType):
+        Option[(String, Any => Option[Any], (Any, Any) => Int,
+          (Any, Boolean) => Option[String])] = {
+      val ann = pt.getLogicalTypeAnnotation
+      def longDom(typ: String, scale: Long => Long = identity) = Some((typ,
+        (v: Any) => Some(scale(v.asInstanceOf[Number].longValue())),
+        (a: Any, b: Any) => java.lang.Long.compare(
+          a.asInstanceOf[Long], b.asInstanceOf[Long]),
+        (v: Any, _: Boolean) => Some(v.toString)))
+      def decDom(d: DecimalLogicalTypeAnnotation) = {
+        val typ = s"decimal(${d.getPrecision},${d.getScale})"
+        val dec = (v: Any) => Some(v match {
+          case b: Binary => new java.math.BigDecimal(
+            new java.math.BigInteger(b.getBytes), d.getScale): Any
+          case n: Number =>
+            java.math.BigDecimal.valueOf(n.longValue(), d.getScale): Any
+        })
+        Some((typ, dec,
+          (a: Any, b: Any) => a.asInstanceOf[java.math.BigDecimal]
+            .compareTo(b.asInstanceOf[java.math.BigDecimal]),
+          (v: Any, _: Boolean) =>
+            Some(v.asInstanceOf[java.math.BigDecimal].toPlainString)))
+      }
+      (pt.getPrimitiveTypeName, ann) match {
+        case (_, d: DecimalLogicalTypeAnnotation) => decDom(d)
+        case (PrimitiveTypeName.INT32, i: IntLogicalTypeAnnotation) =>
+          longDom(i.getBitWidth match {
+            case 8 => "tinyint"; case 16 => "smallint"; case _ => "int" })
+        case (PrimitiveTypeName.INT32, _: DateLogicalTypeAnnotation) =>
+          longDom("date")
+        case (PrimitiveTypeName.INT32, null) => longDom("int")
+        case (PrimitiveTypeName.INT64, t: TimestampLogicalTypeAnnotation) =>
+          val toMicros: Long => Long = t.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.MILLIS => _ * 1000L
+            case LogicalTypeAnnotation.TimeUnit.MICROS => identity
+            case _ => return None // nanos — not a Spark output type
+          }
+          longDom(if (t.isAdjustedToUTC) "timestamp" else "timestamp_ntz",
+            toMicros)
+        case (PrimitiveTypeName.INT64, _) => longDom("bigint")
+        case (PrimitiveTypeName.BOOLEAN, _) => Some(("boolean",
+          v => Some(v.asInstanceOf[Boolean]),
+          (a, b) => java.lang.Boolean.compare(
+            a.asInstanceOf[Boolean], b.asInstanceOf[Boolean]),
+          (v, _) => Some(v.toString)))
+        case (PrimitiveTypeName.BINARY, _: StringLogicalTypeAnnotation) =>
+          Some(("string", v => Some(v.asInstanceOf[Binary]),
+            (a, b) => a.asInstanceOf[Binary].compareTo(b.asInstanceOf[Binary]),
+            (v, isMin) => encodeStringBound(
+              v.asInstanceOf[Binary].toStringUsingUTF8, isMin)))
+        // float/double: null counts only (NaN hazard — see scaladoc)
+        case (PrimitiveTypeName.FLOAT, _) => Some(("float",
+          _ => None, (_, _) => 0, (_, _) => None))
+        case (PrimitiveTypeName.DOUBLE, _) => Some(("double",
+          _ => None, (_, _) => 0, (_, _) => None))
+        case _ => None // INT96 timestamps, nested, etc.
+      }
     }
-  }
 
-  /** Canonical string encoding of a collected min/max value (see
-    * [[StatsPruner]] for the comparison domains). None = no usable bound
-    * (NULL, NaN/∞, or an untruncatable string max) — unbounded that side. */
-  private def encodeStat(v: Any, dt: org.apache.spark.sql.types.DataType,
-      isMin: Boolean): Option[String] = {
-    import org.apache.spark.sql.types._
-    if (v == null) return None
-    dt match {
-      case ByteType | ShortType | IntegerType | LongType => Some(v.toString)
-      case FloatType =>
-        val f = v.asInstanceOf[Float]
-        if (f.isNaN || f.isInfinite) None
-        else Some(new java.math.BigDecimal(f.toString).toPlainString)
-      case DoubleType =>
-        val d = v.asInstanceOf[Double]
-        if (d.isNaN || d.isInfinite) None
-        else Some(java.math.BigDecimal.valueOf(d).toPlainString)
-      case _: DecimalType =>
-        Some(v.asInstanceOf[java.math.BigDecimal].toPlainString)
-      case BooleanType => Some(v.toString)
-      case StringType => encodeStringBound(v.asInstanceOf[String], isMin)
-      case DateType => v match {
-        case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toString)
-        case d: java.time.LocalDate => Some(d.toEpochDay.toString)
-        case _ => None
-      }
-      case TimestampType => v match {
-        case t: java.sql.Timestamp =>
-          Some((Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000).toString)
-        case i: java.time.Instant =>
-          Some((i.getEpochSecond * 1000000L + i.getNano / 1000).toString)
-        case _ => None
-      }
-      case TimestampNTZType => v match {
-        case l: java.time.LocalDateTime =>
-          Some((l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
-            l.getNano / 1000).toString)
-        case _ => None
-      }
-      case _ => None
-    }
+    /** One row group's contribution to a column: null count, and bounds
+      * when the row group has non-null values AND they decode (None bounds
+      * with hasVals = legitimately unbounded, e.g. float/double). */
+    case class Rg(nulls: Long, hasVals: Boolean, mn: Option[Any], mx: Option[Any])
+
+    io.list(dir).filter(_.endsWith(".parquet")).sorted.map { name =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$dir/$name"), conf))
+      val (rows, cols) = try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val nRows = blocks.map(_.getRowCount).sum
+        val colChunks = blocks.flatMap(b =>
+          b.getColumns.asScala.filter(_.getPath.size == 1)
+            .map(c => (b.getRowCount, c)))
+          .groupBy(_._2.getPath.toDotString)
+        val stats = colChunks.flatMap { case (colName, chunks) =>
+          for {
+            (typ, dec, cmp, enc) <- domainOf(chunks.head._2.getPrimitiveType)
+            rgs <- scala.util.Try(chunks.map { case (rgRows, c) =>
+              val st = c.getStatistics
+              require(st != null && st.isNumNullsSet) // else Try → drop col
+              if (!st.hasNonNullValue) {
+                require(st.getNumNulls >= rgRows) // no values ⇒ all NULL
+                Rg(st.getNumNulls, hasVals = false, None, None)
+              } else Rg(st.getNumNulls, hasVals = true,
+                dec(st.genericGetMin), dec(st.genericGetMax))
+            }).toOption
+          } yield {
+            val valRgs = rgs.filter(_.hasVals)
+            // a bound survives only if EVERY value-bearing row group has it
+            val mn = if (valRgs.nonEmpty && valRgs.forall(_.mn.isDefined))
+              Some(valRgs.flatMap(_.mn).reduce((a, b) =>
+                if (cmp(a, b) <= 0) a else b)) else None
+            val mx = if (valRgs.nonEmpty && valRgs.forall(_.mx.isDefined))
+              Some(valRgs.flatMap(_.mx).reduce((a, b) =>
+                if (cmp(a, b) >= 0) a else b)) else None
+            colName -> ColStats(typ, mn.flatMap(enc(_, true)),
+              mx.flatMap(enc(_, false)), rgs.map(_.nulls).sum)
+          }
+        }
+        (nRows, stats)
+      } finally reader.close()
+      s"$sub/$name" -> FileStats(rows, cols)
+    }.toMap
   }
 
   /** Iceberg-style string-bound truncation to 64 chars: a min truncates
@@ -676,8 +730,20 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
       work = applyInsert(table, next, work, rows)
 
     def update(cond: Column, setCol: String, value: Column): Unit =
-      work = applyMutate(table, next, work, cond, df => df.withColumn(setCol,
-        when(coalesce(cond, lit(false)), value).otherwise(col(setCol))))
+      updateSet(cond, Seq(setCol -> value))
+
+    /** Multi-assignment UPDATE: every (column, value) applies under ONE
+      * candidate-scan + rewrite pass (SQL UPDATE t SET a=..., b=...).
+      * Values see the PRE-update row, per SQL semantics. */
+    def updateSet(cond: Column, sets: Seq[(String, Column)]): Unit =
+      work = applyMutate(table, next, work, cond, df =>
+        df.select(work.columns.map { c =>
+          sets.find(_._1 == c) match {
+            case Some((_, v)) =>
+              when(coalesce(cond, lit(false)), v).otherwise(col(c)).as(c)
+            case None => col(c)
+          }
+        }: _*))
 
     def delete(cond: Column): Unit =
       work = applyMutate(table, next, work, cond,

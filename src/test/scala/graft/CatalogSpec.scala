@@ -153,6 +153,41 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.tables.read("a").count() == 2)
   }
 
+  test("concurrent writers: OCC aborts retry to a deterministic final state (TPC-C payment loop)") {
+    val cat = fresh("concurrent")
+    val tpcc = new graft.workload.Tpcc(spark, cat)
+    tpcc.setup()
+    // 4 threads × 3 payments, every one hitting the same three tables —
+    // the catalog/table version claims serialize them, so concurrent
+    // commits MUST conflict and the losers MUST rerun (the reference's
+    // abort-and-restart loop, transaction_manager.h Abort)
+    val threads = 4; val per = 3
+    val amt = (ti: Int, i: Int) => (ti * per + i + 1).toDouble
+    val (n, retries, _) = tpcc.runConcurrentPayments(threads, per, amt)
+    assert(n == threads * per)
+    assert(retries > 0, "no OCC conflict in 4 concurrent writers — claims not serializing?")
+
+    // final state is DETERMINISTIC (addition commutes across interleavings)
+    val ks = (0 until threads * per).map(_.toLong)
+    val amts = ks.map(k => k.toDouble + 1.0)
+    val expectedWytd = ks.zip(amts).groupMap(_._1 % 2)(_._2).view.mapValues(_.sum).toMap
+    val expectedBal = ks.zip(amts)
+      .groupMap { case (k, _) => (k % 2, k % 3, k % 5) }(_._2)
+      .view.mapValues(-_.sum).toMap
+    val wytd = cat.read(tpcc.Warehouse).orderBy($"w_id")
+      .as[(Long, Double)].collect().toMap
+    assert(wytd == expectedWytd, "w_ytd diverged from the commutative expectation")
+    val bal = cat.read(tpcc.Customer)
+      .select($"c_w_id", $"c_d_id", $"c_id", $"c_balance")
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (w, d, c, b) => ((w, d, c), b) }.toMap
+    expectedBal.foreach { case (k, v) => assert(bal(k) == v, s"customer $k") }
+    assert(bal.values.sum == -amts.sum)
+    // every payment counted exactly once — no lost updates, no doubles
+    assert(cat.read(tpcc.Customer).agg(sum($"c_payment_cnt")).as[Long].head()
+      == n)
+  }
+
   test("per-table OCC conflict aborts the whole multi-table tx; catalog never tears") {
     val cat = fresh("occ")
     cat.tables.create("a", Seq((1L, 1.0)).toDF("id", "v"))
