@@ -102,6 +102,14 @@ class QueryPlanSpec extends AnyFunSuite {
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains("bloom_filter") || p.contains("might_contain") ||
         p.contains("BloomFilter"), s"no bloom filter injected:\n$p")
+      // the query scopes its injection thresholds: after it returns, the
+      // values it set (100MB / 0) are gone — no cross-query optimizer state
+      assert(spark.conf.getOption(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+        .forall(_ != "100MB"), "q65 left creationSideThreshold=100MB")
+      assert(spark.conf.getOption(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+        .forall(_ != "0"), "q65 left applicationSideScanSizeThreshold=0")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
