@@ -58,9 +58,17 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
     * the Iceberg manifest-entry lower/upper-bounds role: mutations and
     * point lookups prune candidate files from METADATA before any scan.
     * Files from pre-stats manifests simply have no entry (conservative:
-    * always candidates). */
+    * always candidates).
+    *
+    * `schemaJson` is the group's write-time Spark schema (Iceberg manifests
+    * carry the schema for the same reason): internal reads supply it to the
+    * parquet reader, so no read ever pays a schema-inference Spark job —
+    * at small-transaction scale those inference jobs used to dominate
+    * mutation latency (4 of the 7 jobs in one UPDATE). Absent on
+    * pre-schema manifests → the reader infers as before. */
   private case class Group(paths: Seq[String], fills: ListMap[String, String],
-      stats: Map[String, FileStats] = Map.empty)
+      stats: Map[String, FileStats] = Map.empty,
+      schemaJson: Option[String] = None)
 
   /** columns = the version's logical projection (drops = absence);
     * props = commit-carried key/value metadata (e.g. per-source ingest
@@ -167,13 +175,15 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
   }
 
   private def serializeManifest(v: Long, m: VersionManifest): Array[Byte] = {
-    // merge groups with identical fills so the manifest grows with distinct
-    // schema states, not with every insert
-    var merged = ListMap.empty[ListMap[String, String], (Seq[String], Map[String, FileStats])]
+    // merge groups with identical fills AND write schema so the manifest
+    // grows with distinct schema states, not with every insert
+    var merged = ListMap.empty[(ListMap[String, String], Option[String]),
+      (Seq[String], Map[String, FileStats])]
     m.groups.foreach { g =>
       if (g.paths.nonEmpty) {
-        val (ps, st) = merged.getOrElse(g.fills, (Seq.empty[String], Map.empty[String, FileStats]))
-        merged = merged.updated(g.fills, (ps ++ g.paths, st ++ g.stats))
+        val key = (g.fills, g.schemaJson)
+        val (ps, st) = merged.getOrElse(key, (Seq.empty[String], Map.empty[String, FileStats]))
+        merged = merged.updated(key, (ps ++ g.paths, st ++ g.stats))
       }
     }
     val rootNode = mapper.createObjectNode()
@@ -181,12 +191,13 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
     val cols = rootNode.putArray("columns")
     m.columns.foreach(cols.add)
     val groups = rootNode.putArray("groups")
-    merged.foreach { case (fills, (paths, stats)) =>
+    merged.foreach { case ((fills, schemaJson), (paths, stats)) =>
       val g = groups.addObject()
       val p = g.putArray("paths")
       paths.foreach(p.add)
       val f = g.putObject("fills")
       fills.foreach { case (c, sql) => f.put(c, sql) }
+      schemaJson.foreach(g.put("schema", _))
       val liveStats = stats.filter { case (path, _) => paths.contains(path) }
       if (liveStats.nonEmpty) {
         val st = g.putObject("stats")
@@ -264,7 +275,8 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
           stats += path -> FileStats(fo.get("rows").asLong(), cols)
         }
       }
-      Group(paths, fills, stats)
+      val schema = if (g.has("schema")) Some(g.get("schema").asText()) else None
+      Group(paths, fills, stats, schema)
     }
     var props = Map.empty[String, String]
     if (n.has("props")) {
@@ -280,14 +292,14 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
     * the price of metadata-only mutation planning forever after; partial
     * aggregation keys on the file name, so the pass is map-side cheap). */
   private def writeData(table: String, v: Long,
-      df: DataFrame): (Seq[String], Map[String, FileStats]) = {
+      df: DataFrame): (Seq[String], Map[String, FileStats], Option[String]) = {
     val sub = s"data/v$v-${java.util.UUID.randomUUID.toString.take(8)}"
     val dir = s"$root/$table/$sub"
     df.write.mode(SaveMode.Overwrite).parquet(dir)
     val files = io.list(dir).filter(_.endsWith(".parquet")).sorted
       .map(name => s"$sub/$name")
-    if (files.isEmpty) (files, Map.empty)
-    else (files, collectStats(dir, sub))
+    if (files.isEmpty) (files, Map.empty, None)
+    else (files, collectStats(dir, sub), Some(df.schema.json))
   }
 
   /** Per-file min/max/null-count for every stats-eligible column of a
@@ -441,11 +453,33 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
     }
   }
 
+  /** Read one group's files with its manifest-carried write schema (no
+    * schema-inference job); pre-schema manifests fall back to inference. */
   private def readGroup(table: String, g: Group, columns: Seq[String]): DataFrame = {
-    var df = spark.read.parquet(g.paths.map(p => s"$root/$table/$p"): _*)
+    var df = groupReader(g).parquet(g.paths.map(p => s"$root/$table/$p"): _*)
     g.fills.foreach { case (c, sql) => df = df.withColumn(c, expr(sql)) }
     df.select(columns.map(col): _*)
   }
+
+  /** Distinct `__file` values of `df` in ONE shuffle-free job: dedupe
+    * per partition (the per-partition set is bounded by the candidate file
+    * count, which already fits on the driver), then again driver-side —
+    * the distinct().collect() it replaces paid a shuffle plus a second
+    * AQE job per mutation. */
+  private def collectAffectedFiles(df: DataFrame): Set[String] = {
+    import org.apache.spark.sql.Encoders
+    df.select(col("__file")).as(Encoders.STRING)
+      .mapPartitions(it => it.toSet.iterator)(Encoders.STRING)
+      .collect().toSet
+  }
+
+  private def groupReader(g: Group): org.apache.spark.sql.DataFrameReader =
+    g.schemaJson match {
+      case Some(j) => spark.read.schema(
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      case None => spark.read
+    }
 
   /** Tables under this root (dirs with at least one committed version). */
   def listTables(): Seq[String] = {
@@ -478,17 +512,17 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
     val next = v + 1
     val m = readManifest(table, v)
     val empty = readVersion(table, v).limit(0).coalesce(1)
-    val (files, st) = writeData(table, next, empty)
+    val (files, st, sch) = writeData(table, next, empty)
     commitVersion(table, next,
-      m.copy(groups = Seq(Group(files, ListMap.empty, st))))
+      m.copy(groups = Seq(Group(files, ListMap.empty, st, sch))))
     next
   }
 
   def create(table: String, df: DataFrame): Long = {
     val v = currentVersion(table) + 1
-    val (files, st) = writeData(table, v, df)
+    val (files, st, sch) = writeData(table, v, df)
     commitVersion(table, v, VersionManifest(df.columns.toSeq,
-      Seq(Group(files, ListMap.empty, st))))
+      Seq(Group(files, ListMap.empty, st, sch))))
     v
   }
 
@@ -568,8 +602,8 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
 
   private def applyInsert(table: String, next: Long, m: VersionManifest,
       rows: DataFrame): VersionManifest = {
-    val (files, st) = writeData(table, next, conform(table, m, rows))
-    m.copy(groups = m.groups :+ Group(files, ListMap.empty, st))
+    val (files, st, sch) = writeData(table, next, conform(table, m, rows))
+    m.copy(groups = m.groups :+ Group(files, ListMap.empty, st, sch))
   }
 
   /** Observability for plan pins (specs assert metadata pruning fired):
@@ -628,22 +662,21 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
     val affectedF = planned.map { case (g, cands, _) =>
       if (cands.isEmpty) Future.successful(Set.empty[String])
       else Future {
-        var df = spark.read.parquet(cands.map(p => s"$root/$table/$p"): _*)
+        var df = groupReader(g).parquet(cands.map(p => s"$root/$table/$p"): _*)
           .withColumn("__file", input_file_name())
         g.fills.foreach { case (c, sql) => df = df.withColumn(c, expr(sql)) }
-        df.filter(coalesce(cond, lit(false)))
-          .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
+        collectAffectedFiles(df.filter(coalesce(cond, lit(false))))
       }(TableOps.groupScanPool)
     }
     planned.zip(affectedF).foreach { case ((g, cands, pruned), aF) =>
       if (pruned.nonEmpty)
-        kept :+= Group(pruned, g.fills, g.stats.filter(s => pruned.contains(s._1)))
+        kept :+= g.copy(paths = pruned, stats = g.stats.filter(s => pruned.contains(s._1)))
       if (cands.nonEmpty) {
         val affected =
           Await.result(aF, scala.concurrent.duration.Duration.Inf)
         val (hit, unhit) = cands.partition(p => affected.exists(_.endsWith(p)))
         if (unhit.nonEmpty)
-          kept :+= Group(unhit, g.fills, g.stats.filter(s => unhit.contains(s._1)))
+          kept :+= g.copy(paths = unhit, stats = g.stats.filter(s => unhit.contains(s._1)))
         if (hit.nonEmpty) hitDfs :+= readGroup(table, g.copy(paths = hit), m.columns)
       }
     }
@@ -652,8 +685,8 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
       else {
         val rewritten =
           conform(table, m, rewrite(hitDfs.reduce(_.unionByName(_))))
-        val (files, st) = writeData(table, next, rewritten)
-        if (files.nonEmpty) kept :+ Group(files, ListMap.empty, st) else kept
+        val (files, st, sch) = writeData(table, next, rewritten)
+        if (files.nonEmpty) kept :+ Group(files, ListMap.empty, st, sch) else kept
       }
     m.copy(groups = groups)
   }
@@ -887,22 +920,21 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
       val affectedF = planned.map { case (g, cands, _) =>
         if (cands.isEmpty) Future.successful(Set.empty[String])
         else Future {
-          var df = spark.read.parquet(cands.map(p => s"$root/$table/$p"): _*)
+          var df = groupReader(g).parquet(cands.map(p => s"$root/$table/$p"): _*)
             .withColumn("__file", input_file_name())
           g.fills.foreach { case (c, sql) => df = df.withColumn(c, expr(sql)) }
-          df.join(srcKeys, Seq(key), "left_semi")
-            .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
+          collectAffectedFiles(df.join(srcKeys, Seq(key), "left_semi"))
         }(TableOps.groupScanPool)
       }
       planned.zip(affectedF).foreach { case ((g, cands, pruned), aF) =>
         if (pruned.nonEmpty)
-          kept :+= Group(pruned, g.fills, g.stats.filter(s => pruned.contains(s._1)))
+          kept :+= g.copy(paths = pruned, stats = g.stats.filter(s => pruned.contains(s._1)))
         if (cands.nonEmpty) {
           val affected =
             Await.result(aF, scala.concurrent.duration.Duration.Inf)
           val (hit, unhit) = cands.partition(p => affected.exists(_.endsWith(p)))
           if (unhit.nonEmpty)
-            kept :+= Group(unhit, g.fills, g.stats.filter(s => unhit.contains(s._1)))
+            kept :+= g.copy(paths = unhit, stats = g.stats.filter(s => unhit.contains(s._1)))
           if (hit.nonEmpty) hitDfs :+= readGroup(table, g.copy(paths = hit), m.columns)
         }
       }
@@ -924,9 +956,9 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
     val inserts = src.join(target.select(col(key)), Seq(key), "left_anti")
       .select(m.columns.map(col): _*)
     val toWrite = updated.map(_.unionByName(inserts)).getOrElse(inserts)
-    val (files, st) = writeData(table, next, conform(table, m, toWrite))
+    val (files, st, sch) = writeData(table, next, conform(table, m, toWrite))
     val groups =
-      if (files.nonEmpty) kept :+ Group(files, ListMap.empty, st) else kept
+      if (files.nonEmpty) kept :+ Group(files, ListMap.empty, st, sch) else kept
     m.copy(groups = groups)
   }
 
@@ -981,9 +1013,9 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
       val (big, sm) =
         if (sortBy.nonEmpty) (Seq.empty[String], g.paths)
         else g.paths.partition(p => io.size(s"$root/$table/$p") >= targetFileBytes)
-      if (big.nonEmpty) carried :+= Group(big, g.fills)
+      if (big.nonEmpty) carried :+= g.copy(paths = big, stats = g.stats.filter(s => big.contains(s._1)))
       if (sm.nonEmpty) {
-        small :+= Group(sm, g.fills)
+        small :+= g.copy(paths = sm, stats = g.stats.filter(s => sm.contains(s._1)))
         smallBytes += sm.map(p => io.size(s"$root/$table/$p")).sum
         nSmall += sm.size
       }
@@ -1035,13 +1067,13 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
           .sortWithinPartitions(col("__zkey"))
           .drop("__zkey")
       }
-    val (files, st) = writeData(table, next, packed)
+    val (files, st, sch) = writeData(table, next, packed)
     // a clustered rewrite of an empty table can produce zero part files
     // with nothing carried — committing that would publish a manifest
     // readVersion rejects, so leave the table at the current version
     if (files.isEmpty && carried.isEmpty) return v
     commitVersion(table, next, m.copy(groups =
-      if (files.nonEmpty) carried :+ Group(files, ListMap.empty, st) else carried))
+      if (files.nonEmpty) carried :+ Group(files, ListMap.empty, st, sch) else carried))
     next
   }
 
