@@ -449,6 +449,28 @@ object TpchQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // --- bloom-filter point lookup (reference bwtree_index.h / index
+    //     builtins ast/builtins.h:229-231 — the secondary-index role):
+    //     orders are dealt round-robin across 6 files so every file spans
+    //     the whole o_orderkey range. Manifest min/max stats cannot prune
+    //     that layout; the per-file parquet blooms written via the table's
+    //     bloom.cols property can (pruning pinned in BloomSpec; here the
+    //     RESULT is oracle-checked).
+    "q94_bloom_lookup" -> ((s, d) => {
+      val ops = freshTable(s, d, "q94")
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .filter(col("o_orderkey") < 6000)
+      ops.create("t", o.filter(col("o_orderkey") % 6 === 0).coalesce(1),
+        Map("bloom.cols" -> "o_orderkey"))
+      (1 to 5).foreach { b =>
+        ops.insert("t", o.filter(col("o_orderkey") % 6 === b).coalesce(1))
+      }
+      val k = o.agg(max(col("o_orderkey"))).head().getLong(0)
+      ops.scanWhere("t", col("o_orderkey") === k)
+        .orderBy(col("o_orderkey"))
+    }),
+
     // --- sketch aggregates (reference optimizer statistics sketches:
     //     hyperloglog.h:23, count_min_sketch.h:25, top_k_elements.h:31).
     //     The HLL estimate itself is engine-specific, so the pinned output
@@ -1289,6 +1311,11 @@ object TpchQueries {
         |  AND (o_orderkey = (SELECT max(o_orderkey) FROM orders
         |                     WHERE o_orderkey < 1000)
         |       OR o_orderkey BETWEEN 2000 AND 2100)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q94_bloom_lookup" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders
+        |                    WHERE o_orderkey < 6000)
         |ORDER BY o_orderkey""".stripMargin,
     "q92_sql_session" ->
       """WITH base AS (

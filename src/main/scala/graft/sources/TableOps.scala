@@ -291,11 +291,19 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
     * (one aggregation pass over ONLY the just-written files — O(new data),
     * the price of metadata-only mutation planning forever after; partial
     * aggregation keys on the file name, so the pass is map-side cheap). */
-  private def writeData(table: String, v: Long,
-      df: DataFrame): (Seq[String], Map[String, FileStats], Option[String]) = {
+  private def writeData(table: String, v: Long, df: DataFrame,
+      bloomCols: Seq[String] = Nil): (Seq[String], Map[String, FileStats], Option[String]) = {
     val sub = s"data/v$v-${java.util.UUID.randomUUID.toString.take(8)}"
     val dir = s"$root/$table/$sub"
-    df.write.mode(SaveMode.Overwrite).parquet(dir)
+    var w = df.write.mode(SaveMode.Overwrite)
+    val bc = bloomCols.filter(df.columns.contains)
+    if (bc.nonEmpty) {
+      // parquet's writer builds the blooms inline — no extra Spark job;
+      // adaptive sizing right-sizes the bitset to each row group's ndv
+      w = w.option("parquet.bloom.filter.adaptive.enabled", "true")
+      bc.foreach(c => w = w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+    }
+    w.parquet(dir)
     val files = io.list(dir).filter(_.endsWith(".parquet")).sorted
       .map(name => s"$sub/$name")
     if (files.isEmpty) (files, Map.empty, None)
@@ -512,18 +520,46 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
     val next = v + 1
     val m = readManifest(table, v)
     val empty = readVersion(table, v).limit(0).coalesce(1)
-    val (files, st, sch) = writeData(table, next, empty)
+    val (files, st, sch) = writeData(table, next, empty, bloomColsOf(m))
     commitVersion(table, next,
       m.copy(groups = Seq(Group(files, ListMap.empty, st, sch))))
     next
   }
 
-  def create(table: String, df: DataFrame): Long = {
+  def create(table: String, df: DataFrame): Long = create(table, df, Map.empty)
+
+  /** CREATE TABLE with initial properties (e.g. `bloom.cols` — see
+    * [[setBloomColumns]]), honored by this first write already. */
+  def create(table: String, df: DataFrame, props: Map[String, String]): Long = {
     val v = currentVersion(table) + 1
-    val (files, st, sch) = writeData(table, v, df)
-    commitVersion(table, v, VersionManifest(df.columns.toSeq,
-      Seq(Group(files, ListMap.empty, st, sch))))
+    val m0 = VersionManifest(df.columns.toSeq, Nil, props)
+    val (files, st, sch) = writeData(table, v, df, bloomColsOf(m0))
+    commitVersion(table, v,
+      m0.copy(groups = Seq(Group(files, ListMap.empty, st, sch))))
     v
+  }
+
+  /** Columns whose writes embed a parquet bloom filter per row group —
+    * the table's `bloom.cols` property (see [[BloomPruner]]). */
+  private def bloomColsOf(m: VersionManifest): Seq[String] =
+    m.props.get("bloom.cols")
+      .map(_.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
+  /** Declare the bloom-indexed columns (props-only commit — existing files
+    * are untouched; every later insert/update/merge/compact write embeds
+    * blooms for these columns, so compactTable() backfills the whole
+    * table). Equality lookups on these columns prune candidate files via
+    * driver-side bloom probes — the secondary-index role for keys range
+    * stats cannot separate (reference bwtree_index.h). */
+  def setBloomColumns(table: String, cols: Seq[String]): Long = {
+    val v = currentVersion(table)
+    require(v >= 0, s"table $table does not exist under $root")
+    val next = v + 1
+    val m = readManifest(table, v)
+    commitVersion(table, next,
+      m.copy(props = m.props + ("bloom.cols" -> cols.mkString(","))))
+    next
   }
 
   def read(table: String): DataFrame = {
@@ -602,7 +638,7 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
 
   private def applyInsert(table: String, next: Long, m: VersionManifest,
       rows: DataFrame): VersionManifest = {
-    val (files, st, sch) = writeData(table, next, conform(table, m, rows))
+    val (files, st, sch) = writeData(table, next, conform(table, m, rows), bloomColsOf(m))
     m.copy(groups = m.groups :+ Group(files, ListMap.empty, st, sch))
   }
 
@@ -611,6 +647,7 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
     * manifest stats kept as candidates vs pruned without any job. */
   @volatile private[graft] var lastPlanCandidates: Int = -1
   @volatile private[graft] var lastPlanPruned: Int = -1
+  @volatile private[graft] var lastBloomPruned: Int = -1
 
   /** Resolve a user predicate against the table's schema into an ANALYZED
     * Catalyst expression (EqualTo/LessThan/... over AttributeReferences) —
@@ -634,6 +671,27 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
         g.stats.get(p).forall(fs => StatsPruner.mayMatch(e, fs)))
   }
 
+  /** Partition stats-surviving candidates into (kept, bloom-pruned) via
+    * driver-side parquet bloom probes — active only when the table
+    * declares `bloom.cols` AND the predicate has equality conjuncts on
+    * them (see [[BloomPruner]]). Cost: one footer + bitset read per
+    * candidate, metadata I/O that replaces a data scan of the file. */
+  private def bloomPartition(table: String, m: VersionManifest,
+      cands: Seq[String],
+      resolved: Option[org.apache.spark.sql.catalyst.expressions.Expression])
+      : (Seq[String], Seq[String]) = {
+    val bc = bloomColsOf(m)
+    if (bc.isEmpty || cands.isEmpty) return (cands, Nil)
+    val probes = resolved.toSeq.flatMap(BloomPruner.equalityProbes)
+      .filter(p => bc.contains(p.col))
+    if (probes.isEmpty) (cands, Nil)
+    else {
+      val conf = spark.sessionState.newHadoopConf()
+      cands.partition(p =>
+        BloomPruner.mayContain(s"$root/$table/$p", probes, conf))
+    }
+  }
+
   /** Copy-on-write at FILE granularity against an arbitrary working
     * manifest, planned in two metadata-first steps: (1) the manifest's
     * per-file stats prune every file whose [min,max] ranges cannot satisfy
@@ -650,16 +708,18 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
     val resolved = m.groups.headOption.flatMap(g0 =>
       resolvePredicate(readGroup(table, g0, m.columns), cond))
     val planned = m.groups.map { g =>
-      val (cands, pruned) = pruneByStats(g, resolved)
-      (g, cands, pruned)
+      val (cands0, pruned) = pruneByStats(g, resolved)
+      val (cands, bloomed) = bloomPartition(table, m, cands0, resolved)
+      (g, cands, pruned ++ bloomed, bloomed.size)
     }
     lastPlanCandidates = planned.map(_._2.size).sum
     lastPlanPruned = planned.map(_._3.size).sum
+    lastBloomPruned = planned.map(_._4).sum
     // the affected-file detection is one blocking Spark action per schema
     // group — submit them CONCURRENTLY (the cluster interleaves the jobs),
     // then fold results back in deterministic group order
     import scala.concurrent.{Await, Future}
-    val affectedF = planned.map { case (g, cands, _) =>
+    val affectedF = planned.map { case (g, cands, _, _) =>
       if (cands.isEmpty) Future.successful(Set.empty[String])
       else Future {
         var df = groupReader(g).parquet(cands.map(p => s"$root/$table/$p"): _*)
@@ -668,7 +728,7 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
         collectAffectedFiles(df.filter(coalesce(cond, lit(false))))
       }(TableOps.groupScanPool)
     }
-    planned.zip(affectedF).foreach { case ((g, cands, pruned), aF) =>
+    planned.zip(affectedF).foreach { case ((g, cands, pruned, _), aF) =>
       if (pruned.nonEmpty)
         kept :+= g.copy(paths = pruned, stats = g.stats.filter(s => pruned.contains(s._1)))
       if (cands.nonEmpty) {
@@ -685,7 +745,7 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
       else {
         val rewritten =
           conform(table, m, rewrite(hitDfs.reduce(_.unionByName(_))))
-        val (files, st, sch) = writeData(table, next, rewritten)
+        val (files, st, sch) = writeData(table, next, rewritten, bloomColsOf(m))
         if (files.nonEmpty) kept :+ Group(files, ListMap.empty, st, sch) else kept
       }
     m.copy(groups = groups)
@@ -705,15 +765,19 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
     val m = readManifest(table, v)
     var nCand = 0
     var nPruned = 0
+    var nBloom = 0
     val resolved = m.groups.headOption.flatMap(g0 =>
       resolvePredicate(readGroup(table, g0, m.columns), cond))
     val dfs = m.groups.flatMap { g =>
-      val (cands, pruned) = pruneByStats(g, resolved)
-      nCand += cands.size; nPruned += pruned.size
+      val (cands0, pruned) = pruneByStats(g, resolved)
+      val (cands, bloomed) = bloomPartition(table, m, cands0, resolved)
+      nCand += cands.size; nPruned += pruned.size + bloomed.size
+      nBloom += bloomed.size
       if (cands.isEmpty) None
       else Some(readGroup(table, g.copy(paths = cands), m.columns))
     }
     lastPlanCandidates = nCand; lastPlanPruned = nPruned
+    lastBloomPruned = nBloom
     val base =
       if (dfs.isEmpty) readVersion(table, v).limit(0)
       else dfs.reduce(_.unionByName(_))
@@ -905,19 +969,40 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
       g0 <- m.groups.headOption
       e <- resolvePredicate(readGroup(table, g0, m.columns), r)
     } yield e
+    // bloom pruning, MERGE shape: with a bloom on the key column and a
+    // SMALL source batch (the streaming-upsert norm), collect the distinct
+    // source keys and keep only files whose blooms may hold ANY of them —
+    // range stats can't separate interleaved keys, blooms can. Bounded:
+    // skipped beyond 256 keys (probe cost grows with keys x candidates).
+    val keyProbes: Seq[BloomPruner.Probe] =
+      if (setCols.isEmpty || !bloomColsOf(m).contains(key) ||
+          summary.getAs[Long]("__d") > 256L) Nil
+      else {
+        val dt = src.schema(key).dataType
+        val vals = srcKeys.distinct().collect().map(_.get(0)).filter(_ != null)
+        val ps = vals.flatMap(v => BloomPruner.probeExternal(key, v, dt))
+        if (ps.length == vals.length) ps.toSeq else Nil // partial = unsafe
+      }
     if (setCols.isEmpty) {
       kept = m.groups
       lastPlanCandidates = 0; lastPlanPruned = 0
     } else {
+      val bloomConf =
+        if (keyProbes.isEmpty) null else spark.sessionState.newHadoopConf()
       val planned = m.groups.map { g =>
-        val (cands, pruned) = pruneByStats(g, resolvedRange)
-        (g, cands, pruned)
+        val (cands0, pruned0) = pruneByStats(g, resolvedRange)
+        val (cands, bloomed) =
+          if (keyProbes.isEmpty) (cands0, Seq.empty[String])
+          else cands0.partition(p => BloomPruner.mayContainAny(
+            s"$root/$table/$p", keyProbes, bloomConf))
+        (g, cands, pruned0 ++ bloomed, bloomed.size)
       }
       lastPlanCandidates = planned.map(_._2.size).sum
       lastPlanPruned = planned.map(_._3.size).sum
+      lastBloomPruned = planned.map(_._4).sum
       // concurrent per-group matched-file detection, like applyMutate
       import scala.concurrent.{Await, Future}
-      val affectedF = planned.map { case (g, cands, _) =>
+      val affectedF = planned.map { case (g, cands, _, _) =>
         if (cands.isEmpty) Future.successful(Set.empty[String])
         else Future {
           var df = groupReader(g).parquet(cands.map(p => s"$root/$table/$p"): _*)
@@ -926,7 +1011,7 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
           collectAffectedFiles(df.join(srcKeys, Seq(key), "left_semi"))
         }(TableOps.groupScanPool)
       }
-      planned.zip(affectedF).foreach { case ((g, cands, pruned), aF) =>
+      planned.zip(affectedF).foreach { case ((g, cands, pruned, _), aF) =>
         if (pruned.nonEmpty)
           kept :+= g.copy(paths = pruned, stats = g.stats.filter(s => pruned.contains(s._1)))
         if (cands.nonEmpty) {
@@ -956,7 +1041,7 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
     val inserts = src.join(target.select(col(key)), Seq(key), "left_anti")
       .select(m.columns.map(col): _*)
     val toWrite = updated.map(_.unionByName(inserts)).getOrElse(inserts)
-    val (files, st, sch) = writeData(table, next, conform(table, m, toWrite))
+    val (files, st, sch) = writeData(table, next, conform(table, m, toWrite), bloomColsOf(m))
     val groups =
       if (files.nonEmpty) kept :+ Group(files, ListMap.empty, st, sch) else kept
     m.copy(groups = groups)
@@ -1067,7 +1152,7 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
           .sortWithinPartitions(col("__zkey"))
           .drop("__zkey")
       }
-    val (files, st, sch) = writeData(table, next, packed)
+    val (files, st, sch) = writeData(table, next, packed, bloomColsOf(m))
     // a clustered rewrite of an empty table can produce zero part files
     // with nothing carried — committing that would publish a manifest
     // readVersion rejects, so leave the table at the current version
