@@ -35,36 +35,44 @@ object BloomPruner {
   /** A probe against one column: the physical-typed value to hash. */
   final case class Probe(col: String, value: Any, sparkType: DataType)
 
-  /** Top-level conjunctive `col = literal` probes of an ANALYZED predicate
-    * (only conjuncts every matching row must satisfy can prune a file; OR
-    * branches cannot). The literal keeps its Catalyst internal value —
-    * conversion to the parquet physical domain happens at probe time
-    * against the file's actual schema. */
-  def equalityProbes(cond: Expression): Seq[Probe] = {
+  /** Probe clauses in CNF — a conjunction of disjunction clauses — mined
+    * from an ANALYZED predicate. Each top-level conjunct becomes a clause
+    * when it is WHOLLY equality-shaped: `col = lit` (singleton clause),
+    * `col IN (lits…)`, or an OR-tree whose every leaf is `col = lit`
+    * (columns may differ across disjuncts). A conjunct with any
+    * non-equality branch yields no clause — it cannot refute a file.
+    * Literals keep their Catalyst internal values; conversion to the
+    * parquet physical domain happens at probe time against each file's
+    * actual schema. */
+  def cnfProbes(cond: Expression): Seq[Seq[Probe]] = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
     }
-    conjuncts(cond).flatMap {
+    // Some(probes) = the disjunct set, None = unmineable conjunct
+    def clause(e: Expression): Option[Seq[Probe]] = e match {
       case EqualTo(a: AttributeReference, l: Literal) if l.value != null =>
-        Some(Probe(a.name, l.value, l.dataType))
+        Some(Seq(Probe(a.name, l.value, l.dataType)))
       case EqualTo(l: Literal, a: AttributeReference) if l.value != null =>
-        Some(Probe(a.name, l.value, l.dataType))
+        Some(Seq(Probe(a.name, l.value, l.dataType)))
+      case In(a: AttributeReference, vs) =>
+        val lits = vs.collect { case l: Literal if l.value != null =>
+          Probe(a.name, l.value, l.dataType) }
+        if (lits.length == vs.length) Some(lits) else None
+      case Or(l, r) =>
+        for (cl <- clause(l); cr <- clause(r)) yield cl ++ cr
       case _ => None
     }
+    conjuncts(cond).flatMap(clause(_))
   }
 
-  /** Could `path` contain a row satisfying ALL probes (conjunctive — the
-    * scanWhere/UPDATE shape)? False only when some probe's bloom reports
-    * "definitely absent" in EVERY row group. One footer open per call;
-    * bloom bitsets are read lazily per row group. */
-  def mayContain(path: String, probes: Seq[Probe], conf: Configuration): Boolean =
-    probes.isEmpty || withProbeEval(path, conf)(ev => probes.forall(ev))
-
-  /** Could `path` contain ANY of the probed values (disjunctive — the
-    * MERGE shape: a file is a candidate if any source key may be in it)? */
-  def mayContainAny(path: String, probes: Seq[Probe], conf: Configuration): Boolean =
-    probes.isEmpty || withProbeEval(path, conf)(ev => probes.exists(ev))
+  /** Could `path` contain a row satisfying the CNF? False only when some
+    * clause's EVERY disjunct is "definitely absent" in EVERY row group.
+    * One footer open per call; bloom bitsets are read lazily per row group
+    * and cached across the call's probes. */
+  def mayContain(path: String, cnf: Seq[Seq[Probe]], conf: Configuration): Boolean =
+    cnf.isEmpty || withProbeEval(path, conf)(ev =>
+      cnf.forall(clause => clause.isEmpty || clause.exists(ev)))
 
   private def withProbeEval(path: String, conf: Configuration)(
       f: (Probe => Boolean) => Boolean): Boolean = {

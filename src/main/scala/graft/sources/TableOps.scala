@@ -673,23 +673,39 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
 
   /** Partition stats-surviving candidates into (kept, bloom-pruned) via
     * driver-side parquet bloom probes — active only when the table
-    * declares `bloom.cols` AND the predicate has equality conjuncts on
-    * them (see [[BloomPruner]]). Cost: one footer + bitset read per
-    * candidate, metadata I/O that replaces a data scan of the file. */
+    * declares `bloom.cols` AND the predicate has equality-shaped conjuncts
+    * (=, IN, OR-of-=) on them (see [[BloomPruner]]). Cost: one footer +
+    * bitset read per candidate, metadata I/O that replaces a data scan of
+    * the file — and the probes run CONCURRENTLY on the shared pool, so a
+    * many-file table pays the latency of one footer read, not their sum. */
   private def bloomPartition(table: String, m: VersionManifest,
       cands: Seq[String],
       resolved: Option[org.apache.spark.sql.catalyst.expressions.Expression])
       : (Seq[String], Seq[String]) = {
     val bc = bloomColsOf(m)
     if (bc.isEmpty || cands.isEmpty) return (cands, Nil)
-    val probes = resolved.toSeq.flatMap(BloomPruner.equalityProbes)
-      .filter(p => bc.contains(p.col))
-    if (probes.isEmpty) (cands, Nil)
-    else {
-      val conf = spark.sessionState.newHadoopConf()
-      cands.partition(p =>
-        BloomPruner.mayContain(s"$root/$table/$p", probes, conf))
-    }
+    // a clause can refute a file only when EVERY disjunct is bloom-checkable
+    val cnf = resolved.toSeq.flatMap(BloomPruner.cnfProbes)
+      .filter(clause => clause.nonEmpty && clause.forall(p => bc.contains(p.col)))
+    if (cnf.isEmpty) (cands, Nil)
+    else bloomProbeAll(cands,
+      (p, conf) => BloomPruner.mayContain(s"$root/$table/$p", cnf, conf))
+  }
+
+  /** Probe every candidate concurrently (bounded by the shared pool);
+    * returns (may-contain, provably-absent). `probe` must be thread-safe —
+    * BloomPruner opens an independent reader per call. */
+  private def bloomProbeAll(cands: Seq[String],
+      probe: (String, org.apache.hadoop.conf.Configuration) => Boolean)
+      : (Seq[String], Seq[String]) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val conf = spark.sessionState.newHadoopConf()
+    implicit val ec: scala.concurrent.ExecutionContext = TableOps.groupScanPool
+    val fs = cands.map(p => Future((p, probe(p, conf))))
+    val results = Await.result(Future.sequence(fs), Duration.Inf)
+    val (kept, pruned) = results.partition(_._2)
+    (kept.map(_._1), pruned.map(_._1))
   }
 
   /** Copy-on-write at FILE granularity against an arbitrary working
@@ -987,14 +1003,15 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
       kept = m.groups
       lastPlanCandidates = 0; lastPlanPruned = 0
     } else {
-      val bloomConf =
-        if (keyProbes.isEmpty) null else spark.sessionState.newHadoopConf()
+      // the key set is ONE disjunction clause: a file is a candidate if
+      // any source key may be in it
+      val keyCnf = if (keyProbes.isEmpty) Nil else Seq(keyProbes)
       val planned = m.groups.map { g =>
         val (cands0, pruned0) = pruneByStats(g, resolvedRange)
         val (cands, bloomed) =
-          if (keyProbes.isEmpty) (cands0, Seq.empty[String])
-          else cands0.partition(p => BloomPruner.mayContainAny(
-            s"$root/$table/$p", keyProbes, bloomConf))
+          if (keyCnf.isEmpty) (cands0, Seq.empty[String])
+          else bloomProbeAll(cands0,
+            (p, conf) => BloomPruner.mayContain(s"$root/$table/$p", keyCnf, conf))
         (g, cands, pruned0 ++ bloomed, bloomed.size)
       }
       lastPlanCandidates = planned.map(_._2.size).sum

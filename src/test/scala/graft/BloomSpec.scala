@@ -80,6 +80,26 @@ class BloomSpec extends AnyFunSuite {
     assert(ops.read("t").count() == 241)
   }
 
+  test("IN-list and OR-of-equalities prune to the union of the keys' files") {
+    val ops = interleavedTable(TestSpark.tmpDir("graft-bloom6"))
+    // keys 14 and 20 are both ≡ 2 mod 6 — one batch file holds both
+    val in = ops.scanWhere("t", col("k").isin(14L, 20L))
+    assert(in.select("v").as[String].collect().sorted.toSeq ==
+      Seq("row-14", "row-20"))
+    assert(ops.lastBloomPruned >= 4, s"IN: bloomPruned=${ops.lastBloomPruned}")
+    // keys 3 and 10 live in different batch files (3%6=3, 10%6=4)
+    val or = ops.scanWhere("t", col("k") === 3L || col("k") === 10L)
+    assert(or.select("v").as[String].collect().sorted.toSeq ==
+      Seq("row-10", "row-3"))
+    assert(ops.lastBloomPruned >= 3, s"OR: bloomPruned=${ops.lastBloomPruned}")
+    // an OR with a non-equality branch must NOT prune (k<1 can't be refuted)
+    val mixed = ops.scanWhere("t", col("k") === 3L || col("k") < 1L)
+    assert(mixed.select("v").as[String].collect().sorted.toSeq ==
+      Seq("row-0", "row-3"))
+    assert(ops.lastBloomPruned == 0,
+      s"mixed OR must stay conservative, pruned=${ops.lastBloomPruned}")
+  }
+
   test("tables without bloom.cols are untouched (no probes, full candidates)") {
     val ops = new TableOps(spark, TestSpark.tmpDir("graft-bloom5"))
     ops.create("t", (0 until 20).map(i => (i.toLong, s"r$i")).toDF("k", "v")
