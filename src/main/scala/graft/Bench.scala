@@ -145,7 +145,9 @@ object Bench {
       "q82_embedding_components", "q84_json_roundtrip",
       "q85_transaction", "q86_merge_upsert", "q87_stream_dedup",
       "q88_compact", "q89_stream_ingest", "q90_catalog_tx",
-      "q91_point_lookup", "q92_sql_session", "q94_bloom_lookup")
+      "q91_point_lookup", "q92_sql_session", "q94_bloom_lookup",
+      "q95_create_function", "q96_trigger", "q97_hash_sample",
+      "q98_hash_topn")
     val extras = newOps.map { name =>
       val fn = SparkEntry.queries(name)
       name -> (1 to 2).map(_ => secs { fn(spark, sfDir).count() }).min

@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.entry.IndexQueries
-import graft.pipeline.{Multimodal, Similarity, TextPipeline}
+import graft.pipeline.{Multimodal, Sampling, Similarity, TextPipeline}
 import graft.relational.TpchQueries
 import graft.streaming.StreamingOps
 
@@ -23,15 +23,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TpchQueries.queries ++ TextPipeline.queries ++ Similarity.queries ++
-      Similarity.extraQueries ++ Multimodal.queries ++ IndexQueries.queries ++
-      StreamingOps.queries
+    TpchQueries.queries ++ TextPipeline.queries ++ Sampling.queries ++
+      Similarity.queries ++ Similarity.extraQueries ++ Multimodal.queries ++
+      IndexQueries.queries ++ StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (q37 simhash, q41 lsh-ann, q43 ivf-ann, q46 media frames) →
     * rows-only check. */
   def oracleSql: Map[String, String] =
-    TpchQueries.oracles ++ TextPipeline.oracles ++ Similarity.oracles ++
-      Multimodal.oracles ++ IndexQueries.oracles ++ StreamingOps.oracles
+    TpchQueries.oracles ++ TextPipeline.oracles ++ Sampling.oracles ++
+      Similarity.oracles ++ Multimodal.oracles ++ IndexQueries.oracles ++
+      StreamingOps.oracles
 }

@@ -832,6 +832,62 @@ object TpchQueries {
       sqlDoor.exec("SELECT * FROM t ORDER BY o_orderkey")
     }),
 
+    // --- stored SQL function (reference PL/pgSQL CREATE FUNCTION —
+    //     embryonic there, README.md:29 / udf_test.cpp; here: Spark's
+    //     native SQL-UDF form persisted in the table store). The session
+    //     registration is dropped before the final SELECT, so the query
+    //     proves a FRESH front door re-registers the function from disk —
+    //     the catalog-persistence role. Per-row arithmetic ships raw
+    //     doubles (IEEE ops are bit-identical cross-engine).
+    "q95_create_function" -> ((s, d) => {
+      val ops = freshTable(s, d, "q95")
+      val door = new graft.sources.GraftSql(s, ops)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .createOrReplaceTempView("orders_q95")
+      door.exec("CREATE TABLE t AS SELECT * FROM orders_q95 WHERE o_orderkey < 4000")
+      door.exec("CREATE FUNCTION priced(p DOUBLE, prio STRING) RETURNS DOUBLE " +
+        "RETURN CASE WHEN prio LIKE '1-%' THEN p * 0.9 " +
+        "WHEN prio LIKE '2-%' THEN p * 0.95 ELSE p END")
+      s.sql("DROP TEMPORARY FUNCTION IF EXISTS priced")
+      val door2 = new graft.sources.GraftSql(s, ops)
+      door2.exec("SELECT o_orderkey, priced(o_totalprice, o_orderpriority) " +
+        "AS effective FROM t ORDER BY o_orderkey")
+    }),
+
+    // --- executing AFTER triggers (reference CREATE TRIGGER is PARSE-ONLY
+    //     — postgresparser.cpp:1236-1298; this is a strict superset: the
+    //     stored trigger statements actually RUN). An INSERT trigger
+    //     appends per-batch aggregates of the `inserted` transition view
+    //     to an audit table; an UPDATE trigger snapshots the post-state.
+    //     The audit table IS the result, so the oracle replays the whole
+    //     firing history.
+    "q96_trigger" -> ((s, d) => {
+      val ops = freshTable(s, d, "q96")
+      val door = new graft.sources.GraftSql(s, ops)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .createOrReplaceTempView("orders_q96")
+      door.exec("CREATE TABLE t AS SELECT * FROM orders_q96 WHERE 1 = 0")
+      door.exec("CREATE TABLE audit AS SELECT CAST(0 AS BIGINT) " +
+        "AS batch_rows, CAST(0.0 AS DOUBLE) AS batch_total " +
+        "FROM orders_q96 LIMIT 0")
+      door.exec("CREATE TRIGGER audit_ins AFTER INSERT ON t EXECUTE " +
+        "INSERT INTO audit SELECT CAST(count(*) AS BIGINT), " +
+        "round(sum(o_totalprice), 2) FROM inserted")
+      door.exec("CREATE TRIGGER audit_upd AFTER UPDATE ON t EXECUTE " +
+        "INSERT INTO audit SELECT CAST(count(*) AS BIGINT), " +
+        "round(sum(o_totalprice), 2) FROM t")
+      (0 until 3).foreach { b =>
+        door.exec("INSERT INTO t SELECT * FROM orders_q96 " +
+          s"WHERE o_orderkey % 3 = $b AND o_orderkey < 3000")
+      }
+      door.exec("UPDATE t SET o_totalprice = o_totalprice + 1.0 " +
+        "WHERE o_orderkey % 3 = 0 AND o_orderkey < 300")
+      door.exec("SELECT batch_rows, batch_total FROM audit " +
+        "ORDER BY batch_rows, batch_total")
+    }),
+
     // --- TPC-C-shaped multi-table OLTP over Catalog.tx (reference
     //     integration anchor: tpcc_test.cpp / tpcc_benchmark.cpp:58 —
     //     NewOrder + Payment over warehouse/district/customer/orders as
@@ -1317,6 +1373,30 @@ object TpchQueries {
         |WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders
         |                    WHERE o_orderkey < 6000)
         |ORDER BY o_orderkey""".stripMargin,
+    "q95_create_function" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderpriority LIKE '1-%' THEN o_totalprice * 0.9
+        |       WHEN o_orderpriority LIKE '2-%' THEN o_totalprice * 0.95
+        |       ELSE o_totalprice END AS effective
+        |FROM orders WHERE o_orderkey < 4000
+        |ORDER BY o_orderkey""".stripMargin,
+    "q96_trigger" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 3000),
+        |b AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS batch_rows,
+        |         round(sum(o_totalprice), 2) AS batch_total
+        |  FROM base GROUP BY o_orderkey % 3),
+        |post AS (
+        |  SELECT CASE WHEN o_orderkey % 3 = 0 AND o_orderkey < 300
+        |              THEN o_totalprice + 1.0 ELSE o_totalprice END AS p
+        |  FROM base),
+        |b3 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS batch_rows,
+        |         round(sum(p), 2) AS batch_total FROM post)
+        |SELECT batch_rows, batch_total FROM b
+        |UNION ALL SELECT batch_rows, batch_total FROM b3
+        |ORDER BY batch_rows, batch_total""".stripMargin,
     "q92_sql_session" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

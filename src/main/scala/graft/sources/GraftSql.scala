@@ -29,6 +29,11 @@ import org.apache.spark.sql.functions._
   *   ALTER TABLE t ADD COLUMN c DEFAULT <expr> | ALTER TABLE t DROP COLUMN c
   *   TRUNCATE TABLE t | DROP TABLE t
   *   CREATE [OR REPLACE] VIEW v AS <select> | DROP VIEW v
+  *   CREATE [OR REPLACE] FUNCTION f(params) RETURNS type RETURN <expr>
+  *   DROP FUNCTION f
+  *   CREATE [OR REPLACE] TRIGGER tr AFTER INSERT|UPDATE|DELETE ON t
+  *     EXECUTE <statement>
+  *   DROP TRIGGER tr
   *   BEGIN | COMMIT | ROLLBACK
   *   <select>  (managed tables referenced by name resolve to their
   *              current snapshot; inside a transaction, to its
@@ -39,7 +44,19 @@ import org.apache.spark.sql.functions._
   * table a DML statement touches; COMMIT publishes ONE version; ROLLBACK
   * (or a failed statement) discards the staged state. Cross-table
   * atomicity stays with Catalog.tx — a SQL session binds to one table per
-  * transaction and says so loudly otherwise. */
+  * transaction and says so loudly otherwise.
+  *
+  * Functions are Spark's native SQL UDFs with the definition PERSISTED in
+  * the table store (the PL/pgSQL CREATE FUNCTION role — embryonic in the
+  * reference, README.md:29); any session's SELECT re-registers referenced
+  * stored functions on demand. Triggers are statement-level AFTER triggers,
+  * EXECUTED here (the reference only parses them, postgresparser.cpp:1236):
+  * after each standalone DML commits, the matching triggers' statements run
+  * as further front-door statements in name order, with INSERT's new rows
+  * visible as an `inserted` transition view. Declared boundaries: triggers
+  * do not fire for DML staged inside BEGIN…COMMIT (the reference never
+  * fires them at all), no OLD transition table, and trigger cascades cap
+  * at depth 8 (a cycle fails the originating statement). */
 final class GraftSql(spark: SparkSession, val ops: TableOps) {
 
   /** (table, staged transaction) while inside BEGIN…COMMIT. */
@@ -70,6 +87,13 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
   private val CreateView =
     """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.*)$""".r
   private val DropView = """(?is)^\s*DROP\s+VIEW\s+(\w+)\s*$""".r
+  private val CreateFunction =
+    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\s+(\w+)\s*(\(.*)$""".r
+  private val DropFunction = """(?is)^\s*DROP\s+FUNCTION\s+(\w+)\s*$""".r
+  private val CreateTrigger =
+    ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TRIGGER\s+(\w+)\s+AFTER\s+""" +
+      """(INSERT|UPDATE|DELETE)\s+ON\s+(\w+)\s+EXECUTE\s+(.*)$""").r
+  private val DropTrigger = """(?is)^\s*DROP\s+TRIGGER\s+(\w+)\s*$""".r
   private val Begin = """(?is)^\s*BEGIN\s*$""".r
   private val Commit = """(?is)^\s*COMMIT\s*$""".r
   private val Rollback = """(?is)^\s*ROLLBACK\s*$""".r
@@ -96,8 +120,11 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
     case CreateTableAs(table, select) =>
       ack("CREATE TABLE", table, ops.create(table, runSelect(select)))
     case InsertSelect(table, select) =>
-      // SQL INSERT matches the select list to the table POSITIONALLY
-      def rows() = {
+      // SQL INSERT matches the select list to the table POSITIONALLY.
+      // Evaluated ONCE: the plan pins the pre-insert snapshot's files, so
+      // the trigger transition view sees exactly the inserted rows even
+      // when the select reads the target table itself.
+      lazy val rows = {
         val cols = tableColumns(table)
         val df = runSelect(select)
         require(df.columns.length == cols.length,
@@ -105,11 +132,13 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
             s"$table has ${cols.length}")
         df.toDF(cols: _*)
       }
-      dml(table, "INSERT", tx => tx.insert(rows()), () => ops.insert(table, rows()))
+      dml(table, "INSERT", tx => tx.insert(rows), () => ops.insert(table, rows),
+        () => Some(rows))
     case InsertValues(table, values) =>
       val cols = tableColumns(table)
-      def rows() = spark.sql(s"SELECT * FROM VALUES $values").toDF(cols: _*)
-      dml(table, "INSERT", tx => tx.insert(rows()), () => ops.insert(table, rows()))
+      lazy val rows = spark.sql(s"SELECT * FROM VALUES $values").toDF(cols: _*)
+      dml(table, "INSERT", tx => tx.insert(rows), () => ops.insert(table, rows),
+        () => Some(rows))
     case Update(table, sets, cond) =>
       val pairs = splitTopLevel(sets).map { a =>
         val i = a.indexOf('=')
@@ -153,6 +182,17 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
       ack("CREATE VIEW", name, -1L)
     case DropView(name) =>
       ops.dropView(name); ack("DROP VIEW", name, -1L)
+    case CreateFunction(replace, name, definition) =>
+      ops.createFunction(name, definition, replace = replace != null)
+      ack("CREATE FUNCTION", name, -1L)
+    case DropFunction(name) =>
+      ops.dropFunction(name); ack("DROP FUNCTION", name, -1L)
+    case CreateTrigger(replace, name, event, table, statement) =>
+      ops.createTrigger(name, table, event, statement,
+        replace = replace != null)
+      ack("CREATE TRIGGER", name, -1L)
+    case DropTrigger(name) =>
+      ops.dropTrigger(name); ack("DROP TRIGGER", name, -1L)
 
     case select => runSelect(select)
   }
@@ -169,9 +209,11 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
     require(active.isEmpty, s"$what is not allowed inside a transaction")
 
   /** Route a DML statement: staged into the open transaction (bound to its
-    * first table) or committed standalone. */
+    * first table, triggers deferred out — declared boundary) or committed
+    * standalone, in which case matching AFTER triggers fire. */
   private def dml(table: String, stmt: String,
-      staged: ops.Transaction => Unit, standalone: () => Long): DataFrame =
+      staged: ops.Transaction => Unit, standalone: () => Long,
+      transition: () => Option[DataFrame] = () => None): DataFrame =
     active match {
       case Some((bound, tx0)) =>
         val tx = if (bound == null) {
@@ -185,8 +227,30 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
         }
         staged(tx)
         ack(stmt, table, -1L)
-      case None => ack(stmt, table, standalone())
+      case None =>
+        val v = standalone()
+        fireTriggers(table, stmt, transition)
+        ack(stmt, table, v)
     }
+
+  /** Run every AFTER trigger on (table, event) as a front-door statement,
+    * name-ordered; INSERT's new rows visible as the `inserted` view. */
+  private var triggerDepth = 0
+  private def fireTriggers(table: String, event: String,
+      transition: () => Option[DataFrame]): Unit = {
+    if (!Seq("INSERT", "UPDATE", "DELETE").contains(event)) return
+    val triggers = ops.triggersFor(table, event)
+    if (triggers.isEmpty) return
+    require(triggerDepth < 8,
+      s"trigger cascade exceeded depth 8 at $event on $table (cycle?)")
+    triggerDepth += 1
+    try {
+      val tv = transition()
+      tv.foreach(_.createOrReplaceTempView("inserted"))
+      try triggers.foreach { case (_, statement) => exec(statement) }
+      finally if (tv.isDefined) spark.catalog.dropTempView("inserted")
+    } finally triggerDepth -= 1
+  }
 
   private def tableColumns(table: String): Seq[String] = active match {
     case Some((bound, tx)) if bound == table => tx.read().columns.toSeq
@@ -194,7 +258,8 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
   }
 
   /** Run a SELECT with every referenced managed table registered as a temp
-    * view of its current snapshot (or the transaction's working state). */
+    * view of its current snapshot (or the transaction's working state),
+    * and every referenced stored function re-registered into the session. */
   private def runSelect(select: String): DataFrame = {
     referencedManagedTables(select).foreach { t =>
       val df = active match {
@@ -203,6 +268,9 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
       }
       df.createOrReplaceTempView(t)
     }
+    val words = """\b\w+\b""".r.findAllIn(select).map(_.toLowerCase).toSet
+    ops.listFunctions().filter(f => words.contains(f.toLowerCase))
+      .foreach(ops.registerFunction)
     spark.sql(select)
   }
 

@@ -1406,6 +1406,110 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
   }
 
   def viewExists(name: String): Boolean = io.exists(viewPath(name))
+
+  // --- stored SQL functions (reference: PL/pgSQL CREATE FUNCTION,
+  // embryonic there — README.md:29, udf_test.cpp; SURVEY.md §2.10 row 45).
+  // Spark-first: the body is Spark's own native SQL-UDF form (CREATE
+  // FUNCTION name(params) RETURNS type RETURN expr — parsed, resolved, and
+  // codegen'd by Catalyst like any built-in), so this layer adds only the
+  // PERSISTENCE the reference's catalog would: the definition text lives
+  // under the root's _functions/ namespace and any later session
+  // re-registers it on demand.
+
+  private def functionPath(name: String): String =
+    s"$root/_functions/$name.json"
+
+  /** Persist `CREATE FUNCTION name <definition>` where definition is
+    * everything after the name: "(params) RETURNS type RETURN body". */
+  def createFunction(name: String, definition: String,
+      replace: Boolean = false): Unit = {
+    require(replace || !io.exists(functionPath(name)),
+      s"function $name already exists (use replace = true)")
+    val node = mapper.createObjectNode()
+    node.put("definition", definition)
+    io.atomicWrite(functionPath(name),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+    registerFunction(name)
+  }
+
+  /** Register a stored function into THIS session (idempotent). */
+  def registerFunction(name: String): Unit = {
+    val p = functionPath(name)
+    require(io.exists(p), s"function $name does not exist under $root")
+    val defn = mapper.readTree(io.readBytes(p)).get("definition").asText()
+    spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION $name $defn")
+    ()
+  }
+
+  def dropFunction(name: String): Unit = {
+    require(io.exists(functionPath(name)),
+      s"function $name does not exist under $root")
+    io.deleteIfExists(functionPath(name))
+    try spark.sql(s"DROP TEMPORARY FUNCTION IF EXISTS $name")
+    catch { case _: Exception => () } // session registration is best-effort
+    ()
+  }
+
+  def functionExists(name: String): Boolean = io.exists(functionPath(name))
+
+  def listFunctions(): Seq[String] = listStored("_functions")
+
+  // --- triggers (reference: CREATE TRIGGER is PARSE-ONLY there —
+  // postgresparser.cpp:1236-1298 builds the node, nothing executes it;
+  // SURVEY.md §2 row 56). This layer both persists AND executes:
+  // statement-level AFTER triggers on INSERT/UPDATE/DELETE, fired by the
+  // SQL front door ([[GraftSql]]) after each standalone (auto-commit) DML
+  // statement; INSERT triggers see the new rows as an `inserted`
+  // transition view (SQL Server's inserted / postgres's REFERENCING NEW
+  // TABLE). Declared boundaries, stated in GraftSql's doc: no firing
+  // inside an explicit BEGIN…COMMIT, no OLD transition table.
+
+  private def triggerPath(name: String): String = s"$root/_triggers/$name.json"
+
+  def createTrigger(name: String, table: String, event: String,
+      statement: String, replace: Boolean = false): Unit = {
+    val ev = event.toUpperCase
+    require(Seq("INSERT", "UPDATE", "DELETE").contains(ev),
+      s"unsupported trigger event $event")
+    require(currentVersion(table) >= 0,
+      s"table $table does not exist under $root")
+    require(replace || !io.exists(triggerPath(name)),
+      s"trigger $name already exists (use replace = true)")
+    val node = mapper.createObjectNode()
+    node.put("table", table)
+    node.put("event", ev)
+    node.put("statement", statement)
+    io.atomicWrite(triggerPath(name),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+  }
+
+  def dropTrigger(name: String): Unit = {
+    require(io.exists(triggerPath(name)),
+      s"trigger $name does not exist under $root")
+    io.deleteIfExists(triggerPath(name))
+    ()
+  }
+
+  def triggerExists(name: String): Boolean = io.exists(triggerPath(name))
+
+  def listTriggers(): Seq[String] = listStored("_triggers")
+
+  /** (name, statement) of every trigger on (table, event), name-ordered —
+    * the deterministic firing order. */
+  def triggersFor(table: String, event: String): Seq[(String, String)] =
+    listStored("_triggers").sorted.flatMap { n =>
+      val t = mapper.readTree(io.readBytes(triggerPath(n)))
+      if (t.get("table").asText() == table &&
+          t.get("event").asText() == event.toUpperCase)
+        Some((n, t.get("statement").asText()))
+      else None
+    }
+
+  private def listStored(ns: String): Seq[String] = {
+    val dir = s"$root/$ns"
+    if (!io.exists(dir)) Seq.empty
+    else io.list(dir).filter(_.endsWith(".json")).map(_.stripSuffix(".json"))
+  }
 }
 
 object TableOps {

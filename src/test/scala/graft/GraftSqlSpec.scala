@@ -107,4 +107,70 @@ class GraftSqlSpec extends AnyFunSuite {
     // statement errors outside any tx don't corrupt the session
     intercept[IllegalStateException] { sql.exec("COMMIT") }
   }
+
+  test("CREATE FUNCTION persists; a fresh front door re-registers from disk") {
+    val sql = fresh("fn")
+    Seq((1L, 100.0), (2L, 250.0)).toDF("id", "p").createOrReplaceTempView("seed_fn")
+    sql.exec("CREATE TABLE t AS SELECT * FROM seed_fn")
+    sql.exec("CREATE FUNCTION taxed(x DOUBLE) RETURNS DOUBLE RETURN x * 1.1")
+    assert(sql.exec("SELECT taxed(p) AS tp FROM t WHERE id = 1")
+      .as[Double].head() == 100.0 * 1.1)
+    // kill the session registration; a NEW door must restore it from disk
+    spark.sql("DROP TEMPORARY FUNCTION IF EXISTS taxed")
+    val door2 = new GraftSql(spark, sql.ops)
+    assert(door2.exec("SELECT taxed(p) AS tp FROM t WHERE id = 2")
+      .as[Double].head() == 250.0 * 1.1)
+    // replace changes behavior; plain create on an existing name fails
+    intercept[IllegalArgumentException] {
+      sql.exec("CREATE FUNCTION taxed(x DOUBLE) RETURNS DOUBLE RETURN x")
+    }
+    sql.exec("CREATE OR REPLACE FUNCTION taxed(x DOUBLE) RETURNS DOUBLE RETURN x * 2.0")
+    assert(sql.exec("SELECT taxed(p) AS tp FROM t WHERE id = 1")
+      .as[Double].head() == 200.0)
+    sql.exec("DROP FUNCTION taxed")
+    assert(!sql.ops.functionExists("taxed"))
+  }
+
+  test("AFTER triggers fire on standalone DML; INSERT sees the inserted view") {
+    val sql = fresh("trg")
+    Seq((1L, 10.0)).toDF("id", "v").createOrReplaceTempView("seed_trg")
+    sql.exec("CREATE TABLE t AS SELECT * FROM seed_trg WHERE 1 = 0")
+    sql.exec("CREATE TABLE log AS SELECT CAST(0 AS BIGINT) AS n, " +
+      "CAST(0.0 AS DOUBLE) AS s FROM seed_trg LIMIT 0")
+    sql.exec("CREATE TRIGGER t_ins AFTER INSERT ON t EXECUTE " +
+      "INSERT INTO log SELECT CAST(count(*) AS BIGINT), sum(v) FROM inserted")
+    sql.exec("CREATE TRIGGER t_del AFTER DELETE ON t EXECUTE " +
+      "INSERT INTO log SELECT CAST(-1 AS BIGINT), sum(v) FROM t")
+    sql.exec("INSERT INTO t VALUES (1, 10.0), (2, 20.0)")
+    sql.exec("INSERT INTO t VALUES (3, 30.0)")
+    sql.exec("DELETE FROM t WHERE id = 2")
+    val log = sql.exec("SELECT n, s FROM log ORDER BY n, s")
+      .as[(Long, Double)].collect().toSeq
+    assert(log == Seq((-1L, 40.0), (1L, 30.0), (2L, 30.0)))
+    // triggers do NOT fire for DML staged inside BEGIN…COMMIT (boundary)
+    sql.exec("BEGIN")
+    sql.exec("INSERT INTO t VALUES (9, 90.0)")
+    sql.exec("COMMIT")
+    assert(sql.exec("SELECT count(*) AS n FROM log").as[Long].head() == 3)
+    // transition view does not leak past the firing
+    assert(!spark.catalog.tableExists("inserted"))
+    sql.exec("DROP TRIGGER t_ins")
+    sql.exec("INSERT INTO t VALUES (4, 40.0)")
+    assert(sql.exec("SELECT count(*) AS n FROM log").as[Long].head() == 3)
+  }
+
+  test("a trigger cascade that cycles fails instead of looping") {
+    val sql = fresh("trgcycle")
+    Seq((1L, 1.0)).toDF("id", "v").createOrReplaceTempView("seed_cycle")
+    sql.exec("CREATE TABLE a AS SELECT * FROM seed_cycle WHERE 1 = 0")
+    sql.exec("CREATE TABLE b AS SELECT * FROM seed_cycle WHERE 1 = 0")
+    sql.exec("CREATE TRIGGER ab AFTER INSERT ON a EXECUTE " +
+      "INSERT INTO b SELECT * FROM inserted")
+    sql.exec("CREATE TRIGGER ba AFTER INSERT ON b EXECUTE " +
+      "INSERT INTO a SELECT * FROM inserted")
+    val e = intercept[IllegalArgumentException] {
+      sql.exec("INSERT INTO a VALUES (1, 1.0)")
+    }
+    assert(e.getMessage.contains("depth"))
+  }
 }
