@@ -469,6 +469,53 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
     df.select(columns.map(col): _*)
   }
 
+  /** Read one group through a [[GraftFileIndex]]: Spark's scan planning
+    * hands its pushed-down filters to the index, which prunes files from
+    * manifest stats + blooms at PLANNING time — so ANY plan over the
+    * table (front-door SELECT, view, join input) skips non-matching files,
+    * not just the explicit scanWhere path. Pre-schema manifests fall back
+    * to the plain reader (no stats to prune with anyway). */
+  private def readGroupIndexed(table: String, g: Group, columns: Seq[String],
+      bloomCols: Seq[String]): DataFrame = g.schemaJson match {
+    case Some(j) =>
+      import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+      import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+      val schema = org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val idx = new GraftFileIndex(spark, s"$root/$table", g.paths, g.stats,
+        schema, bloomCols, fileStatusCache)
+      lastFileIndexes :+= idx
+      val rel = HadoopFsRelation(idx, new org.apache.spark.sql.types.StructType(),
+        schema, None, new ParquetFileFormat(), Map.empty[String, String])(spark)
+      var df = spark.baseRelationToDataFrame(rel)
+      g.fills.foreach { case (c, sql) => df = df.withColumn(c, expr(sql)) }
+      df.select(columns.map(col): _*)
+    case None => readGroup(table, g, columns)
+  }
+
+  /** The file indexes backing the most recent readVersion call — spec
+    * observability for planning-time pruning counts. */
+  @volatile private[graft] var lastFileIndexes: Seq[GraftFileIndex] = Nil
+
+  /** Committed data files are immutable → their FileStatus entries are
+    * shared across every read of this store (see [[GraftFileIndex]]).
+    * Invalidated per table on dropTable/expire/vacuum. */
+  private val fileStatusCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.hadoop.fs.FileStatus]()
+
+  /** (table, version) → its assembled read plan. Version content is
+    * immutable, so the plan is reusable verbatim; the cache keeps a
+    * read-modify-write loop (the TPC-C shape) from re-assembling
+    * relations and re-listing directories on every statement. */
+  private val readPlanCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), (DataFrame, Seq[GraftFileIndex])]()
+
+  private def invalidateReadCaches(table: String): Unit = {
+    val prefix = s"$root/$table/"
+    fileStatusCache.keySet.removeIf(_.startsWith(prefix))
+    readPlanCache.keySet.removeIf(_._1 == table)
+  }
+
   /** Distinct `__file` values of `df` in ONE shuffle-free job: dedupe
     * per partition (the per-partition set is bounded by the candidate file
     * count, which already fits on the driver), then again driver-side —
@@ -507,7 +554,7 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
     require(io.exists(s"$root/$table") && currentVersion(table) >= 0,
       s"table $table does not exist under $root")
     io.deleteRecursively(s"$root/$table")
-    ()
+    invalidateReadCaches(table)
   }
 
   /** TRUNCATE: one commit to the empty state with the current schema —
@@ -573,9 +620,17 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
     * their default expressions, dropped columns are projected away — no
     * data was rewritten at ALTER time. */
   def readVersion(table: String, v: Long): DataFrame = {
+    val hit = readPlanCache.get((table, v))
+    if (hit != null) { lastFileIndexes = hit._2; return hit._1 }
     val m = readManifest(table, v)
     require(m.groups.nonEmpty, s"$table v$v has no data files")
-    m.groups.map(readGroup(table, _, m.columns)).reduce(_.unionByName(_))
+    lastFileIndexes = Nil
+    val bc = bloomColsOf(m)
+    val df = m.groups.map(readGroupIndexed(table, _, m.columns, bc))
+      .reduce(_.unionByName(_))
+    if (readPlanCache.size > 256) readPlanCache.clear()
+    readPlanCache.put((table, v), (df, lastFileIndexes))
+    df
   }
 
   /** INSERT: write ONLY the new rows' files; the new manifest lists
@@ -1286,6 +1341,7 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
     * guard, touches them — so expire is safe to run concurrently with a
     * writer. Returns (expiredVersions, deletedFiles). */
   def expire(table: String, keepVersions: Int): (Int, Int) = {
+    invalidateReadCaches(table) // cached plans may reference expired files
     require(keepVersions >= 1, "must keep at least the current version")
     val current = currentVersion(table)
     require(current >= 0, s"table $table does not exist under $root")
@@ -1335,6 +1391,7 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
     * are swept. Tests and single-writer maintenance windows pass 0L
     * explicitly. Returns deleted parquet-file count. */
   def vacuum(table: String, minAgeMs: Long = TableOps.DefaultVacuumAgeMs): Int = {
+    invalidateReadCaches(table) // orphan sweeps may remove cached statuses
     require(currentVersion(table) >= 0, s"table $table does not exist under $root")
     val referenced: Set[String] = io.list(s"$root/$table")
       .filter(_.matches("manifest-v\\d+\\.json"))
