@@ -65,7 +65,63 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
     val m = new graft.checkpoint.Manifest(cfg.indexDir).read()
     val builds = m.values.flatMap(_.extra.get("avgDlAtBuild")).map(_.toDouble)
     if (builds.isEmpty) 1.0
-    else math.max(1.0, stats.avgDl / builds.min)
+    else math.max(1.0, liveStats.avgDl / builds.min)
+  }
+
+  /** Deleted docIds (TableIndexer refresh tombstones — the Lucene live-docs
+    * bitset role): postings of dead docs stay on disk until a compact/
+    * rebuild; scoring skips them, which is exact (a skipped candidate only
+    * leaves theta lower, and block-max bounds remain valid upper bounds
+    * over the live subset). Driver-resident + broadcast, size-guarded:
+    * past TombstonesMaxDocs the deployment must compact (rebuild), the
+    * same contract as Lucene's merge policy reclaiming deletes. */
+  private lazy val tombstoneRecord: Option[graft.checkpoint.StageRecord] =
+    new graft.checkpoint.Manifest(cfg.indexDir).get("tombstones")
+
+  private lazy val tombstones: java.util.HashSet[java.lang.Long] = {
+    val set = new java.util.HashSet[java.lang.Long]()
+    tombstoneRecord.foreach { r =>
+      val ids = spark.read.parquet(s"${cfg.indexDir}/${r.extra("dir")}")
+        .select($"docId").as[Long].collect()
+      require(ids.length <= Searcher.TombstonesMaxDocs,
+        s"${ids.length} tombstones exceed the serving bound — compact the index")
+      ids.foreach(set.add(_))
+    }
+    set
+  }
+
+  private lazy val tombstonesBroadcast
+      : org.apache.spark.broadcast.Broadcast[java.util.HashSet[java.lang.Long]] = {
+    val b = spark.sparkContext.broadcast(tombstones)
+    cleanups.add(() => b.destroy())
+    b
+  }
+
+  @inline private def isDead(d: Long): Boolean =
+    !tombstones.isEmpty && tombstones.contains(d)
+
+  /** Per-term df of DEAD docs (recorded by TableIndexer alongside the
+    * tombstones): df_live = df_stored - delta, so idf — and therefore
+    * every score — matches a from-scratch build of the live corpus. */
+  private lazy val dfDelta: Map[Int, Long] = tombstoneRecord match {
+    case None => Map.empty
+    case Some(r) =>
+      spark.read.parquet(s"${cfg.indexDir}/${r.extra("dfDir")}")
+        .select($"termId", $"delta").as[(Int, Long)].collect().toMap
+  }
+
+  /** Corpus statistics of the LIVE (un-tombstoned) documents — what BM25's
+    * N and avgdl must be for scores to equal a rebuild of the live state.
+    * Equal to `stats` when the index carries no tombstones. */
+  lazy val liveStats: graft.model.CorpusStats = tombstoneRecord match {
+    case None => stats
+    case Some(r) =>
+      val deadDocs = r.rows
+      val deadTokens = r.extra.getOrElse("deadTokens", "0").toLong
+      val n = stats.numDocs - deadDocs
+      val tok = stats.totalTokens - deadTokens
+      stats.copy(numDocs = n, totalTokens = tok,
+        avgDl = if (n > 0) tok.toDouble / n else 0.0)
   }
 
   /** Doc-length (norms) table, persisted once per Searcher: every query
@@ -164,6 +220,19 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
   def queryTerms(query: String): Array[String] =
     CodeTokenizer.tokenize(query, cfg.unicodeFold).distinct.sorted.toArray
 
+  /** [[lexFor]] with tombstone df corrections applied: df_live =
+    * df_stored − dead-doc df; a term every containing doc of which is dead
+    * (live df 0) is dropped — it has no live postings to match. */
+  private def lexLive(terms: Array[String])
+      : Map[String, (Int, Long, Double, Int)] = {
+    val lex = lexFor(terms)
+    if (dfDelta.isEmpty) lex
+    else lex.flatMap { case (t, (id, df, m, nb)) =>
+      val live = df - dfDelta.getOrElse(id, 0L)
+      if (live > 0) Some(t -> ((id, live, m, nb))) else None
+    }
+  }
+
   /** term -> (termId, df, maxTfNorm, nBlocks) for the present query terms.
     * A map lookup when either driver-side lexicon is active (no Spark
     * job). */
@@ -255,11 +324,11 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
   def scoreAll(query: String): Dataset[ScoredDoc] = {
     val terms = queryTerms(query)
     if (terms.isEmpty) return spark.emptyDataset[ScoredDoc]
-    val lex = lexFor(terms)
+    val lex = lexLive(terms)
     val present = terms.filter(lex.contains)
     if (present.isEmpty) return spark.emptyDataset[ScoredDoc]
-    val n = stats.numDocs
-    val avgDl = stats.avgDl
+    val n = liveStats.numDocs
+    val avgDl = liveStats.avgDl
     val k1 = p.k1; val b = p.b
     // idf * (k1+1) weight per canonical (sorted) term index
     val w: Map[Int, Double] = present.zipWithIndex.map { case (t, i) =>
@@ -272,9 +341,13 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
     val wB = spark.sparkContext.broadcast(w)
     val idxB = spark.sparkContext.broadcast(termIdx)
 
+    val tsB = tombstonesBroadcast
     val postings = blocksFor(termIdx.keys.toArray).flatMap { blk =>
       val ti = idxB.value(blk.termId)
-      PostingCodec.decodeBlock(blk.bytes).map(pp => (pp.docId, ti, pp.tf))
+      val ts = tsB.value
+      PostingCodec.decodeBlock(blk.bytes).iterator
+        .filter(pp => ts.isEmpty || !ts.contains(pp.docId))
+        .map(pp => (pp.docId, ti, pp.tf))
     }.toDF("docId", "termIdx", "tf")
 
     postings.join(norms.toDF("docId", "dl"), "docId")
@@ -302,11 +375,11 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
   def searchWAND(query: String, k: Int): Array[ScoredDoc] = {
     val terms = queryTerms(query)
     if (terms.isEmpty) return Array.empty
-    val lex = lexFor(terms)
+    val lex = lexLive(terms)
     val present = terms.filter(lex.contains)
     if (present.isEmpty) return Array.empty
-    val n = stats.numDocs
-    val avgDl = stats.avgDl
+    val n = liveStats.numDocs
+    val avgDl = liveStats.avgDl
     val k1 = p.k1; val b = p.b
     val nShards = cfg.numShards
     // weight and global UB per canonical present-term index
@@ -330,8 +403,9 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
         }
       }
       val all = perShard.valuesIterator.flatMap { byTerm =>
-        WandShard.topK(byTerm.toMap, idxOf, weights, termUB, normsLocalArr,
-          k1, b, avgDl, k, ubScale).iterator
+        WandShard.topK(byTerm.toMap, idxOf, weights, termUB,
+          d => normsLocalArr(d.toInt), k1, b, avgDl, k, ubScale,
+          isDead).iterator
       }.toArray
       // same total order as the distributed orderBy: score DESC, docId ASC
       return all.sortBy(sd => (-sd.score, sd.docId)).take(k)
@@ -349,7 +423,8 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
       val blks = blocksFor(idxOf.keys.toArray).collect()
       val all = blks.groupBy(_.shard).valuesIterator.flatMap { shardBlks =>
         WandShard.topK(shardBlks.groupBy(_.termId), idxOf, weights, termUB,
-          normsLocalArr, k1, b, avgDl, k, ubScale).iterator
+          d => normsLocalArr(d.toInt), k1, b, avgDl, k, ubScale,
+          isDead).iterator
       }.toArray
       return all.sortBy(sd => (-sd.score, sd.docId)).take(k)
     }
@@ -358,6 +433,7 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
     val wB = spark.sparkContext.broadcast(weights)
     val ubB = spark.sparkContext.broadcast(termUB)
     val scaleB = spark.sparkContext.broadcast(ubScale)
+    val tsB = tombstonesBroadcast
     val kk = k
 
     // group blocks by their STORED shard (an index property frozen at write
@@ -373,8 +449,13 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
         blocks.flatMapGroups { (_, blkIt) =>
           val byTerm = blkIt.toArray.groupBy(_.termId)
           if (byTerm.isEmpty) Iterator.empty
-          else WandShard.topK(byTerm, idxB.value, wB.value, ubB.value,
-            nb.value, k1, b, avgDl, kk, scaleB.value).iterator
+          else {
+            val ts = tsB.value
+            val norms = nb.value
+            WandShard.topK(byTerm, idxB.value, wB.value, ubB.value,
+              d => norms(d.toInt), k1, b, avgDl, kk, scaleB.value,
+              d => !ts.isEmpty && ts.contains(d)).iterator
+          }
         }
       } else {
         // cluster-scale path: norms cogrouped by the docs table's stored shard
@@ -386,8 +467,12 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
           normIt.foreach { case (_, d, dl) => dlMap.put(d, dl) }
           val byTerm = blkIt.toArray.groupBy(_.termId)
           if (byTerm.isEmpty) Iterator.empty
-          else WandShard.topK(byTerm, idxB.value, wB.value, ubB.value,
-            dlMap, k1, b, avgDl, kk, scaleB.value).iterator
+          else {
+            val ts = tsB.value
+            WandShard.topK(byTerm, idxB.value, wB.value, ubB.value,
+              d => dlMap.get(d), k1, b, avgDl, kk, scaleB.value,
+              d => !ts.isEmpty && ts.contains(d)).iterator
+          }
         }
       }
 
@@ -398,8 +483,13 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
     * stored sha matches sha2(content, 256) of the source row. Returns the
     * number of violations (0 = pass). */
   def verifyLineage(corpus: Dataset[SourceFile]): Long = {
+    val tsB = tombstonesBroadcast
     val docs = spark.read.parquet(cfg.docsPath)
-      .select($"repo", $"path", $"commit", $"sha")
+      .select($"docId", $"repo", $"path", $"commit", $"sha")
+      // dead docs have no source row any more — they are outside the
+      // invariant (their content left the corpus with the delete/update)
+      .filter(udf((d: Long) =>
+        { val ts = tsB.value; ts.isEmpty || !ts.contains(d) }).apply($"docId"))
     val src = corpus.toDF()
       .select($"repo", $"path", $"commit", sha2($"content", 256).as("srcSha"))
     docs.join(src, Seq("repo", "path", "commit"), "left")
@@ -419,6 +509,13 @@ object Searcher {
     * is under this, matched blocks are collected and scored driver-side —
     * one job, no shuffle (~8 MB at the default). */
   val GatherMaxBlocks: Long = 16384L
+
+  /** Serving bound on the tombstone set (driver-resident + broadcast,
+    * 8 B/id ⇒ ~400 MB at the bound). An index that accumulates more
+    * deletes than this must be compacted (rebuilt from the live table
+    * snapshot) — the Lucene merge-policy contract for reclaiming
+    * deletes, surfaced as an explicit limit instead of silent slowdown. */
+  val TombstonesMaxDocs: Long = 50000000L
 }
 
 /** Sequential WAND over one docId shard (runs inside one task). */
@@ -501,29 +598,10 @@ object WandShard {
     }
   }
 
-  def topK(
-      byTerm: Map[Int, Array[PostingBlockRow]],
-      idxOf: Map[Int, Int],
-      weights: Array[Double],
-      termUB: Array[Double],
-      dlMap: java.util.HashMap[Long, Int],
-      k1: Double, b: Double, avgDl: Double,
-      k: Int, ubScale: Double): Seq[ScoredDoc] =
-    topK(byTerm, idxOf, weights, termUB, d => dlMap.get(d), k1, b, avgDl, k,
-      ubScale)
-
-  def topK(
-      byTerm: Map[Int, Array[PostingBlockRow]],
-      idxOf: Map[Int, Int],
-      weights: Array[Double],
-      termUB: Array[Double],
-      normsArr: Array[Int],
-      k1: Double, b: Double, avgDl: Double,
-      k: Int, ubScale: Double): Seq[ScoredDoc] =
-    topK(byTerm, idxOf, weights, termUB, d => normsArr(d.toInt), k1, b, avgDl,
-      k, ubScale)
-
-  /** Exact top-k of one shard. `byTerm`: termId -> its blocks in this shard. */
+  /** Exact top-k of one shard. `byTerm`: termId -> its blocks in this shard.
+    * `isDead`: tombstoned docIds to skip — exact, because a skipped
+    * candidate only leaves the heap threshold lower and every block-max
+    * bound stays a valid upper bound over the surviving docs. */
   def topK(
       byTerm: Map[Int, Array[PostingBlockRow]],
       idxOf: Map[Int, Int],
@@ -531,7 +609,8 @@ object WandShard {
       termUB: Array[Double],
       dlOf: Long => Int,
       k1: Double, b: Double, avgDl: Double,
-      k: Int, ubScale: Double): Seq[ScoredDoc] = {
+      k: Int, ubScale: Double,
+      isDead: Long => Boolean = _ => false): Seq[ScoredDoc] = {
 
     val cursors: Array[Cursor] = byTerm.toArray.map { case (t, blks) =>
       val ti = idxOf(t)
@@ -584,8 +663,9 @@ object WandShard {
               bub += sorted(j).blockMaxScore(k1, b); j += 1
             }
             val nAt = j
-            if (bub < th) {
-              // block-max skip: true score <= bub < theta strictly
+            if (bub < th || isDead(pivotDoc)) {
+              // block-max skip (true score <= bub < theta strictly) or a
+              // tombstoned doc — either way, never a candidate
               j = 0
               while (j < nAt) { sorted(j).advance(); j += 1 }
             } else {

@@ -461,6 +461,28 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
     }
   }
 
+  /** Relative data-file paths of version `v`, manifest order — the
+    * file-granularity commit diff surface: copy-on-write means the set
+    * difference between two versions' file lists IS the change set
+    * (TableIndexer keys its incremental index maintenance on it, the way
+    * Iceberg incremental scans diff manifest entries). */
+  def dataFiles(table: String, v: Long): Seq[String] =
+    readManifest(table, v).groups.flatMap(_.paths)
+
+  /** Read only `paths` (a subset of version `v`'s files) resolved to that
+    * version's read schema — fills applied, columns ordered. Files are
+    * immutable once committed, so this is exact for any still-un-expired
+    * version. Returns None when the subset is empty. */
+  def readFilesOf(table: String, v: Long, paths: Set[String]): Option[DataFrame] = {
+    val m = readManifest(table, v)
+    val parts = m.groups.flatMap { g =>
+      val kept = g.paths.filter(paths.contains)
+      if (kept.isEmpty) None
+      else Some(readGroup(table, g.copy(paths = kept), m.columns))
+    }
+    parts.reduceOption(_.unionByName(_))
+  }
+
   /** Read one group's files with its manifest-carried write schema (no
     * schema-inference job); pre-schema manifests fall back to inference. */
   private def readGroup(table: String, g: Group, columns: Seq[String]): DataFrame = {
