@@ -149,15 +149,17 @@ object IndexQueries {
   /** The DuckDB oracle recomputing BM25 from raw text (idf =
     * ln(1 + (N - df + 0.5)/(df + 0.5)), tf-norm with k1/b, N and avgdl over
     * ALL docs incl. token-less ones — identical to IndexBuilder). */
-  def bm25OracleSql(terms: Seq[String], k: Int): String = {
+  def bm25OracleSql(terms: Seq[String], k: Int,
+      docsSql: String = "SELECT doc_id, text FROM documents"): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
-    s"""WITH toks AS (
+    s"""WITH docs2 AS ($docsSql),
+       |toks AS (
        |  SELECT doc_id, t AS term FROM (
        |    SELECT doc_id, unnest(regexp_split_to_array(lower(text),'[^a-z0-9_]+')) AS t
-       |    FROM documents)
+       |    FROM docs2)
        |  WHERE length(t) BETWEEN 2 AND 64),
        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1,2),
-       |dl AS (SELECT d.doc_id, coalesce(x.c,0)::BIGINT AS dl FROM documents d
+       |dl AS (SELECT d.doc_id, coalesce(x.c,0)::BIGINT AS dl FROM docs2 d
        |       LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) x USING (doc_id)),
        |stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
        |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
@@ -197,6 +199,50 @@ object IndexQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // --- maintained search index over a MANAGED table (the reference's
+    //     index-maintenance-on-DML: builtins.h:229-231 IndexInsert/
+    //     IndexDelete, snapshot-incremental here): create the index, run a
+    //     delete + update + insert round against the table, refresh (one
+    //     segment append + tombstones + df corrections), then score — the
+    //     oracle recomputes BM25 over the post-DML state from scratch, so
+    //     every correction (df_live, N_live, avgdl_live) is value-checked.
+    "q99_table_search" -> ((s, d) => {
+      import graft.index.TableIndexer
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft-tidx-" +
+        d.replaceAll("[^a-zA-Z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val ops = new graft.sources.TableOps(s, root)
+      ops.create("docs",
+        corpusFromDocuments(s, d).toDF().repartition(4, col("path")))
+      val tCfg = IndexConfig(indexDir = s"$root/__idx", numShards = 8,
+        heavyDfThreshold = 1000)
+      val ti = new TableIndexer(s, ops, tCfg)
+      ti.create("docs")
+      ops.delete("docs", col("lang") === "fr")
+      ops.update("docs", col("lang") === "de", "content",
+        concat(col("content"), lit(" graft_refresh_marker graft_refresh_marker")))
+      ops.insert("docs", s.read.parquet(s"$d/documents.parquet")
+        .filter(col("lang") === "es")
+        .select(lit("corpus").as("repo"),
+          format_string("%09d", col("doc_id") + lit(1000000L)).as("path"),
+          lit("0000000000000000000000000000000000000000").as("commit"),
+          col("lang"),
+          concat(lit("graft_inserted_marker "), col("text")).as("content")))
+      ti.refresh("docs")
+      val searcher = new Searcher(s, tCfg)
+      val scored = searcher
+        .scoreAll("data graft_refresh_marker graft_inserted_marker").toDF()
+      val docmap = s.read.parquet(tCfg.docsPath)
+        .select(col("docId"), col("path").cast("long").as("doc_id"))
+      val out = scored.join(docmap, "docId")
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+      val rows = out.collect() // materialize before closing the searcher
+      searcher.close()
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), out.schema)
+    }),
+
     // --- decoded postings == SQL term frequencies (codec + merge pinned
     //     end-to-end; restricted to terms starting with 's' to bound rows)
     "q54_postings_roundtrip" -> ((s, d) => {
@@ -226,6 +272,17 @@ object IndexQueries {
   val oracles: Map[String, String] = Map(
     "q50_bm25_hash_join" -> bm25OracleSql(Seq("hash", "join"), 20),
     "q51_bm25_mixed" -> bm25OracleSql(Seq("customer", "merge", "window"), 20),
+    // post-DML corpus rebuilt from scratch in SQL: deletes gone, updates
+    // restamped, inserts added — the BM25 the refreshed index must equal
+    "q99_table_search" -> bm25OracleSql(
+      Seq("data", "graft_inserted_marker", "graft_refresh_marker"), 20,
+      docsSql = """SELECT doc_id, text FROM documents WHERE lang NOT IN ('fr','de')
+        | UNION ALL SELECT doc_id,
+        |   text || ' graft_refresh_marker graft_refresh_marker' FROM documents
+        |   WHERE lang = 'de'
+        | UNION ALL SELECT doc_id + 1000000,
+        |   'graft_inserted_marker ' || text FROM documents
+        |   WHERE lang = 'es'""".stripMargin),
     "q52_index_lexicon" ->
       s"""WITH toks AS ($tokensSqlDuck)
          |SELECT term, count(DISTINCT doc_id)::BIGINT AS df
