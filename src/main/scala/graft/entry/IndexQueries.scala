@@ -214,8 +214,10 @@ object IndexQueries {
       val ops = new graft.sources.TableOps(s, root)
       ops.create("docs",
         corpusFromDocuments(s, d).toDF().repartition(4, col("path")))
+      // buildPartitions capped: the lifecycle runs ~40 small stages over a
+      // ~MB corpus — 8-way tasks keep it scheduler-bound, not task-spam
       val tCfg = IndexConfig(indexDir = s"$root/__idx", numShards = 8,
-        heavyDfThreshold = 1000)
+        heavyDfThreshold = 1000, buildPartitions = 8)
       val ti = new TableIndexer(s, ops, tCfg)
       ti.create("docs")
       ops.delete("docs", col("lang") === "fr")
@@ -241,6 +243,59 @@ object IndexQueries {
       val rows = out.collect() // materialize before closing the searcher
       searcher.close()
       s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), out.schema)
+    }),
+
+    // --- the SAME maintained-index lifecycle driven purely through SQL
+    //     statements (CREATE SEARCH INDEX + auto-refresh on each DML
+    //     commit + SEARCH — the reference's CREATE INDEX DDL and in-DML
+    //     IndexInsert/IndexDelete maintenance as a SQL session), against
+    //     the same from-scratch BM25 oracle. The SEARCH path is WAND, so
+    //     the fetch widens until the rounded-score cut is provably closed
+    //     (the bm25() adaptive-margin discipline).
+    "q100_sql_search" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft-sqlsix-" +
+        d.replaceAll("[^a-zA-Z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val door = new graft.sources.GraftSql(s, new graft.sources.TableOps(s, root))
+      corpusFromDocuments(s, d).toDF().repartition(4, col("path"))
+        .createOrReplaceTempView("corpus_q100")
+      s.read.parquet(s"$d/documents.parquet").createOrReplaceTempView("docsrc_q100")
+      door.exec("CREATE TABLE docs AS SELECT * FROM corpus_q100")
+      door.exec("CREATE SEARCH INDEX six ON docs")
+      // the DML batch commits as ONE version — the index refreshes once,
+      // at COMMIT (the per-statement refresh path is GraftSqlSpec's)
+      door.exec("BEGIN")
+      door.exec("DELETE FROM docs WHERE lang = 'fr'")
+      door.exec("UPDATE docs SET content = concat(content, " +
+        "' graft_refresh_marker graft_refresh_marker') WHERE lang = 'de'")
+      door.exec("INSERT INTO docs SELECT 'corpus', " +
+        "format_string('%09d', doc_id + 1000000), " +
+        "'0000000000000000000000000000000000000000', lang, " +
+        "concat('graft_inserted_marker ', text) FROM docsrc_q100 " +
+        "WHERE lang = 'es'")
+      door.exec("COMMIT")
+      def r4(x: Double): Double =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val k = 20
+      var fetch = 3 * k + 20
+      def fetchTop(n: Int) = door.search("six",
+        "data graft_refresh_marker graft_inserted_marker", n).collect()
+      var top = fetchTop(fetch)
+      var closed = false
+      while (!closed) {
+        if (top.length < fetch || top.length < k) closed = true
+        else {
+          val kth = top.map(r => (-r4(r.getDouble(3)), r.getString(1))).sorted
+            .apply(k - 1)._1
+          if (-kth > r4(top.last.getDouble(3))) closed = true
+          else { fetch *= 4; top = fetchTop(fetch) }
+        }
+      }
+      import s.implicits._
+      top.toSeq.map(r => (r.getString(1).toLong, r4(r.getDouble(3))))
+        .toDF("doc_id", "score")
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(k)
     }),
 
     // --- decoded postings == SQL term frequencies (codec + merge pinned
@@ -272,6 +327,16 @@ object IndexQueries {
   val oracles: Map[String, String] = Map(
     "q50_bm25_hash_join" -> bm25OracleSql(Seq("hash", "join"), 20),
     "q51_bm25_mixed" -> bm25OracleSql(Seq("customer", "merge", "window"), 20),
+    // q100 = the identical post-DML corpus and query, driven via SQL
+    "q100_sql_search" -> bm25OracleSql(
+      Seq("data", "graft_inserted_marker", "graft_refresh_marker"), 20,
+      docsSql = """SELECT doc_id, text FROM documents WHERE lang NOT IN ('fr','de')
+        | UNION ALL SELECT doc_id,
+        |   text || ' graft_refresh_marker graft_refresh_marker' FROM documents
+        |   WHERE lang = 'de'
+        | UNION ALL SELECT doc_id + 1000000,
+        |   'graft_inserted_marker ' || text FROM documents
+        |   WHERE lang = 'es'""".stripMargin),
     // post-DML corpus rebuilt from scratch in SQL: deletes gone, updates
     // restamped, inserts added — the BM25 the refreshed index must equal
     "q99_table_search" -> bm25OracleSql(

@@ -118,7 +118,9 @@ final class TableIndexer(spark: SparkSession, ops: TableOps,
     // may refer to (its re-indexed twin, if any, gets an id >= base)
     val base = IndexBuilder.stats(cfg).numDocs
 
-    ops.readFilesOf(table, cur, added).foreach { df =>
+    // filterNot(isEmpty): an added file can hold zero rows (TRUNCATE's
+    // empty-state commit) — appending an empty segment is pointless
+    ops.readFilesOf(table, cur, added).filterNot(_.isEmpty).foreach { df =>
       IndexBuilder.append(spark, toCorpus(df), cfg,
         fingerprint = s"table:$table:v$synced-v$cur")
     }

@@ -97,8 +97,14 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
     b
   }
 
-  @inline private def isDead(d: Long): Boolean =
-    !tombstones.isEmpty && tombstones.contains(d)
+  /** Tombstone predicate captured ONCE per query (the lazy-val accessor's
+    * volatile read must not sit in the per-posting hot loop; and the
+    * no-tombstones case — almost every index — pays a constant-false
+    * lambda, not a set probe). */
+  private def deadFn(): Long => Boolean = {
+    val ts = tombstones
+    if (ts.isEmpty) _ => false else ts.contains(_)
+  }
 
   /** Per-term df of DEAD docs (recorded by TableIndexer alongside the
     * tombstones): df_live = df_stored - delta, so idf — and therefore
@@ -402,10 +408,14 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
             scala.collection.mutable.Map.empty) += (tid -> blks)
         }
       }
+      // hot-loop locals: plain array + captured predicate, no lazy-val
+      // accessor (volatile read) per posting
+      val norms = normsLocalArr
+      val dead = deadFn()
       val all = perShard.valuesIterator.flatMap { byTerm =>
         WandShard.topK(byTerm.toMap, idxOf, weights, termUB,
-          d => normsLocalArr(d.toInt), k1, b, avgDl, k, ubScale,
-          isDead).iterator
+          d => norms(d.toInt), k1, b, avgDl, k, ubScale,
+          dead).iterator
       }.toArray
       // same total order as the distributed orderBy: score DESC, docId ASC
       return all.sortBy(sd => (-sd.score, sd.docId)).take(k)
@@ -421,10 +431,12 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
     if (queryBlocks <= gatherMaxBlocks &&
         stats.numDocs <= BroadcastNormsMaxDocs) {
       val blks = blocksFor(idxOf.keys.toArray).collect()
+      val norms = normsLocalArr
+      val dead = deadFn()
       val all = blks.groupBy(_.shard).valuesIterator.flatMap { shardBlks =>
         WandShard.topK(shardBlks.groupBy(_.termId), idxOf, weights, termUB,
-          d => normsLocalArr(d.toInt), k1, b, avgDl, k, ubScale,
-          isDead).iterator
+          d => norms(d.toInt), k1, b, avgDl, k, ubScale,
+          dead).iterator
       }.toArray
       return all.sortBy(sd => (-sd.score, sd.docId)).take(k)
     }
@@ -451,10 +463,12 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
           if (byTerm.isEmpty) Iterator.empty
           else {
             val ts = tsB.value
+            val dead: Long => Boolean =
+              if (ts.isEmpty) _ => false else ts.contains(_)
             val norms = nb.value
             WandShard.topK(byTerm, idxB.value, wB.value, ubB.value,
               d => norms(d.toInt), k1, b, avgDl, kk, scaleB.value,
-              d => !ts.isEmpty && ts.contains(d)).iterator
+              dead).iterator
           }
         }
       } else {
@@ -469,9 +483,11 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
           if (byTerm.isEmpty) Iterator.empty
           else {
             val ts = tsB.value
+            val dead: Long => Boolean =
+              if (ts.isEmpty) _ => false else ts.contains(_)
             WandShard.topK(byTerm, idxB.value, wB.value, ubB.value,
               d => dlMap.get(d), k1, b, avgDl, kk, scaleB.value,
-              d => !ts.isEmpty && ts.contains(d)).iterator
+              dead).iterator
           }
         }
       }

@@ -34,6 +34,8 @@ import org.apache.spark.sql.functions._
   *   CREATE [OR REPLACE] TRIGGER tr AFTER INSERT|UPDATE|DELETE ON t
   *     EXECUTE <statement>
   *   DROP TRIGGER tr
+  *   CREATE SEARCH INDEX idx ON t   | DROP SEARCH INDEX idx
+  *   REFRESH SEARCH INDEX idx       | SEARCH idx 'text' [TOP k]
   *   BEGIN | COMMIT | ROLLBACK
   *   <select>  (managed tables referenced by name resolve to their
   *              current snapshot; inside a transaction, to its
@@ -56,7 +58,16 @@ import org.apache.spark.sql.functions._
   * visible as an `inserted` transition view. Declared boundaries: triggers
   * do not fire for DML staged inside BEGIN…COMMIT (the reference never
   * fires them at all), no OLD transition table, and trigger cascades cap
-  * at depth 8 (a cycle fails the originating statement). */
+  * at depth 8 (a cycle fails the originating statement).
+  *
+  * Search indexes are the reference's CREATE INDEX + maintained-index
+  * surface (it creates BwTree/hash indexes via DDL and updates them inside
+  * every compiled DML pipeline — builtins.h:229-231 IndexInsert/
+  * IndexDelete): CREATE SEARCH INDEX registers a full-text index over a
+  * managed table ([[graft.index.TableIndexer]]); every standalone DML
+  * commit (and every COMMIT of a bound transaction) synchronously
+  * refreshes the table's indexes BEFORE triggers fire, so SEARCH — and any
+  * trigger statement — always reads the just-committed snapshot. */
 final class GraftSql(spark: SparkSession, val ops: TableOps) {
 
   /** (table, staged transaction) while inside BEGIN…COMMIT. */
@@ -94,6 +105,14 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
     ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TRIGGER\s+(\w+)\s+AFTER\s+""" +
       """(INSERT|UPDATE|DELETE)\s+ON\s+(\w+)\s+EXECUTE\s+(.*)$""").r
   private val DropTrigger = """(?is)^\s*DROP\s+TRIGGER\s+(\w+)\s*$""".r
+  private val CreateSearchIndex =
+    """(?is)^\s*CREATE\s+SEARCH\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*$""".r
+  private val DropSearchIndex =
+    """(?is)^\s*DROP\s+SEARCH\s+INDEX\s+(\w+)\s*$""".r
+  private val RefreshSearchIndex =
+    """(?is)^\s*REFRESH\s+SEARCH\s+INDEX\s+(\w+)\s*$""".r
+  private val Search =
+    """(?is)^\s*SEARCH\s+(\w+)\s+'([^']*)'(?:\s+TOP\s+(\d+))?\s*$""".r
   private val Begin = """(?is)^\s*BEGIN\s*$""".r
   private val Commit = """(?is)^\s*COMMIT\s*$""".r
   private val Rollback = """(?is)^\s*ROLLBACK\s*$""".r
@@ -111,6 +130,7 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
       active = None
       val v = if (table == null) -1L // empty transaction: nothing staged
         else ops.commitStaged(table, tx)
+      if (table != null) refreshSearchIndexes(table)
       ack("COMMIT", Option(table).getOrElse(""), v)
     case Rollback() =>
       activeTx("ROLLBACK")
@@ -171,7 +191,10 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
       dml(table, "ALTER", tx => tx.dropColumn(name),
         () => ops.dropColumn(table, name))
     case Truncate(table) =>
-      noTx("TRUNCATE"); ack("TRUNCATE", table, ops.truncate(table))
+      noTx("TRUNCATE")
+      val tv = ops.truncate(table)
+      refreshSearchIndexes(table)
+      ack("TRUNCATE", table, tv)
     case DropTable(table) =>
       noTx("DROP TABLE"); ops.dropTable(table); ack("DROP TABLE", table, -1L)
     case CreateView(replace, name, select) =>
@@ -193,6 +216,24 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
       ack("CREATE TRIGGER", name, -1L)
     case DropTrigger(name) =>
       ops.dropTrigger(name); ack("DROP TRIGGER", name, -1L)
+
+    case CreateSearchIndex(name, table) =>
+      noTx("CREATE SEARCH INDEX")
+      val dir = ops.createSearchIndex(name, table)
+      indexerFor(name, dir).create(table)
+      ack("CREATE SEARCH INDEX", name, -1L)
+    case DropSearchIndex(name) =>
+      searchers.remove(name).foreach(_._2.close())
+      indexers.remove(name)
+      ops.dropSearchIndex(name)
+      ack("DROP SEARCH INDEX", name, -1L)
+    case RefreshSearchIndex(name) =>
+      noTx("REFRESH SEARCH INDEX")
+      val (table, dir) = ops.searchIndexMeta(name)
+      indexerFor(name, dir).refresh(table)
+      ack("REFRESH SEARCH INDEX", name, -1L)
+    case Search(name, text, k) =>
+      search(name, text, if (k == null) 10 else k.toInt)
 
     case select => runSelect(select)
   }
@@ -229,9 +270,81 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
         ack(stmt, table, -1L)
       case None =>
         val v = standalone()
+        // index maintenance BEFORE triggers (the reference updates its
+        // indexes inside the DML pipeline itself, builtins.h:229-231 —
+        // so a trigger's statements already see the maintained index)
+        refreshSearchIndexes(table)
         fireTriggers(table, stmt, transition)
         ack(stmt, table, v)
     }
+
+  // --- SEARCH INDEX serving: a TableIndexer per registered index, and a
+  // Searcher cached per (index, synced table version) — a refresh changes
+  // the stats/tombstones, so the next SEARCH gets a fresh Searcher and
+  // the superseded one is close()d (releases persisted blocks/broadcasts)
+  private val indexers =
+    scala.collection.mutable.Map.empty[String, graft.index.TableIndexer]
+  private val searchers =
+    scala.collection.mutable.Map.empty[String, (Long, graft.query.Searcher)]
+
+  private def indexerFor(name: String, dir: String): graft.index.TableIndexer =
+    indexers.getOrElseUpdate(name, {
+      // build parallelism sized from manifest row counts (metadata-only):
+      // a small table's lifecycle is ~40 scheduler-bound stages — 8-way
+      // tasks, not task-spam; a big corpus takes the session's full width
+      val rows = ops.searchIndexMeta(name) match {
+        case (table, _) => ops.rowCountFromStats(table).getOrElse(Long.MaxValue)
+      }
+      val full = spark.sparkContext.defaultParallelism
+      val parts = math.min(full.toLong, math.max(8L, rows / 5000L)).toInt
+      new graft.index.TableIndexer(spark, ops,
+        graft.index.IndexConfig(indexDir = dir, buildPartitions = parts))
+    })
+
+  /** Synchronous maintenance after a standalone DML commit (or COMMIT of
+    * a bound transaction): every search index on `table` refreshes to the
+    * just-committed snapshot. */
+  private def refreshSearchIndexes(table: String): Unit =
+    ops.searchIndexesFor(table).foreach { case (name, dir) =>
+      indexerFor(name, dir).refresh(table)
+    }
+
+  /** `SEARCH idx 'text' TOP k`: BM25 top-k through the maintained index —
+    * (repo, path, commit, score), score DESC then index docId ASC (the
+    * engine-wide tie-break). */
+  def search(name: String, query: String, k: Int): DataFrame = {
+    val (table, dir) = ops.searchIndexMeta(name)
+    val ti = indexerFor(name, dir)
+    val synced = ti.syncedVersion
+    val searcher = searchers.get(name) match {
+      case Some((v, s0)) if v == synced => s0
+      case prev =>
+        prev.foreach(_._2.close())
+        val s0 = new graft.query.Searcher(spark, ti.cfg)
+        searchers(name) = (synced, s0)
+        s0
+    }
+    val sp = spark
+    import sp.implicits._
+    val top = searcher.searchWAND(query, k)
+    val scored = sp.createDataset(top.toSeq).toDF()
+    val rows = scored
+      .join(sp.read.parquet(ti.cfg.docsPath)
+        .select(col("docId"), col("repo"), col("path"), col("commit")), "docId")
+      .orderBy(col("score").desc, col("docId").asc)
+      .select(col("repo"), col("path"), col("commit"), col("score"))
+      .limit(k).collect()
+    sp.createDataFrame(sp.sparkContext.parallelize(rows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("repo",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("commit",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType))))
+  }
 
   /** Run every AFTER trigger on (table, event) as a front-door statement,
     * name-ordered; INSERT's new rows visible as the `inserted` view. */

@@ -461,6 +461,15 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
     }
   }
 
+  /** Row count of the current version from MANIFEST stats alone (no Spark
+    * job); None when any file predates per-file stats. */
+  def rowCountFromStats(table: String): Option[Long] = {
+    val m = readManifest(table, currentVersion(table))
+    val perFile = m.groups.flatMap(g => g.paths.map(g.stats.get))
+    if (perFile.exists(_.isEmpty)) None
+    else Some(perFile.flatten.map(_.rows).sum)
+  }
+
   /** Relative data-file paths of version `v`, manifest order — the
     * file-granularity commit diff surface: copy-on-write means the set
     * difference between two versions' file lists IS the change set
@@ -576,6 +585,8 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
     require(io.exists(s"$root/$table") && currentVersion(table) >= 0,
       s"table $table does not exist under $root")
     io.deleteRecursively(s"$root/$table")
+    // search indexes physically depend on the table's files — cascade
+    searchIndexesFor(table).foreach { case (n, _) => dropSearchIndex(n) }
     invalidateReadCaches(table)
   }
 
@@ -1589,6 +1600,57 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
     if (!io.exists(dir)) Seq.empty
     else io.list(dir).filter(_.endsWith(".json")).map(_.stripSuffix(".json"))
   }
+
+  // --- search-index registry (CREATE SEARCH INDEX): name -> (table,
+  // index dir), persisted like functions/triggers so any session finds
+  // them. The index CONTENT lives under the returned dir and is built/
+  // maintained by graft.index.TableIndexer (kept out of this class: the
+  // registry is the only coupling, mirroring how the reference's catalog
+  // records index oids while the storage layer owns the BwTrees).
+  private def searchIndexPath(name: String): String =
+    s"$root/_search/$name.json"
+
+  /** Register a search index over `table`; returns the index directory
+    * (under the store: `_search/<name>.idx`). */
+  def createSearchIndex(name: String, table: String,
+      replace: Boolean = false): String = {
+    require(currentVersion(table) >= 0,
+      s"table $table does not exist under $root")
+    require(replace || !io.exists(searchIndexPath(name)),
+      s"search index $name already exists (use replace = true)")
+    val dir = s"$root/_search/$name.idx"
+    val node = mapper.createObjectNode()
+    node.put("table", table)
+    node.put("dir", dir)
+    io.atomicWrite(searchIndexPath(name),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+    dir
+  }
+
+  def dropSearchIndex(name: String): Unit = {
+    searchIndexMeta(name) // existence check
+    io.deleteIfExists(searchIndexPath(name))
+    io.deleteRecursively(s"$root/_search/$name.idx")
+  }
+
+  /** (table, indexDir) of a registered search index. */
+  def searchIndexMeta(name: String): (String, String) = {
+    require(io.exists(searchIndexPath(name)),
+      s"search index $name does not exist under $root")
+    val n = mapper.readTree(io.readBytes(searchIndexPath(name)))
+    (n.get("table").asText(), n.get("dir").asText())
+  }
+
+  def listSearchIndexes(): Seq[String] = listStored("_search")
+
+  /** (name, indexDir) of every search index on `table`, name-ordered —
+    * the deterministic maintenance order after a DML commit. */
+  def searchIndexesFor(table: String): Seq[(String, String)] =
+    listStored("_search").sorted.flatMap { n =>
+      val t = mapper.readTree(io.readBytes(searchIndexPath(n)))
+      if (t.get("table").asText() == table) Some((n, t.get("dir").asText()))
+      else None
+    }
 }
 
 object TableOps {

@@ -173,4 +173,47 @@ class GraftSqlSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("depth"))
   }
+
+  test("CREATE SEARCH INDEX: DML auto-refreshes the index before SEARCH") {
+    val sql = fresh("sidx")
+    val docs = (0 until 120).map(i => graft.corpus.CorpusGen.genFile(i.toLong, 9L))
+    docs.toDF().createOrReplaceTempView("seed_sidx")
+    sql.exec("CREATE TABLE docs AS SELECT * FROM seed_sidx")
+    sql.exec("CREATE SEARCH INDEX dix ON docs")
+    val before = sql.exec("SEARCH dix 'hash join' TOP 5").collect()
+    assert(before.nonEmpty)
+
+    // INSERT of a uniquely-marked doc is findable immediately (synchronous
+    // maintenance, the reference's in-DML IndexInsert)
+    sql.exec("INSERT INTO docs VALUES ('zz/r', 'p1', 'c1', 'scala', " +
+      "'qqq_unique_marker qqq_unique_marker hash join')")
+    val hit = sql.exec("SEARCH dix 'qqq_unique_marker' TOP 5")
+    assert(hit.select("path").as[String].collect().toSeq == Seq("p1"))
+
+    // UPDATE moves the marker to another doc: old occurrence dead, new live
+    sql.exec("UPDATE docs SET content = 'rrr_moved_marker' WHERE path = 'p1'")
+    assert(sql.exec("SEARCH dix 'qqq_unique_marker' TOP 5").collect().isEmpty)
+    assert(sql.exec("SEARCH dix 'rrr_moved_marker' TOP 5")
+      .select("path").as[String].collect().toSeq == Seq("p1"))
+
+    // DELETE kills it
+    sql.exec("DELETE FROM docs WHERE path = 'p1'")
+    assert(sql.exec("SEARCH dix 'rrr_moved_marker' TOP 5").collect().isEmpty)
+
+    // DML inside a transaction refreshes at COMMIT, not before
+    sql.exec("BEGIN")
+    sql.exec("INSERT INTO docs VALUES ('zz/r', 'p2', 'c2', 'scala', " +
+      "'sss_tx_marker body text')")
+    sql.exec("COMMIT")
+    assert(sql.exec("SEARCH dix 'sss_tx_marker' TOP 5")
+      .select("path").as[String].collect().toSeq == Seq("p2"))
+
+    // a second front door on the same store finds the persisted index
+    val sql2 = new GraftSql(spark, sql.ops)
+    assert(sql2.exec("SEARCH dix 'sss_tx_marker' TOP 5").collect().length == 1)
+
+    // DROP TABLE cascades the index registration
+    sql.exec("DROP SEARCH INDEX dix")
+    intercept[IllegalArgumentException](sql.exec("SEARCH dix 'x' TOP 5"))
+  }
 }
