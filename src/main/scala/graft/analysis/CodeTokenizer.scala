@@ -85,6 +85,26 @@ object CodeTokenizer {
     out
   }
 
+  /** Per-term position lists of `content` plus the document length.
+    * A position is the 0-based ordinal of the token among the KEPT tokens
+    * (the 2..64-length filter applies BEFORE positions are assigned), so
+    * "phrase adjacency" means adjacency in the filtered token sequence —
+    * the same rule the SQL oracle expresses by filtering the split array
+    * before indexing it. Positions within a term are strictly increasing
+    * by construction. Runs only at positional-index build time (opt-in
+    * sidecar), not on the main tokenize hot path. */
+  def termPositions(content: String, unicodeFold: Boolean = false)
+      : (mutable.HashMap[String, mutable.ArrayBuffer[Int]], Int) = {
+    val toks = tokenize(content, unicodeFold)
+    val m = new mutable.HashMap[String, mutable.ArrayBuffer[Int]]()
+    var i = 0
+    while (i < toks.length) {
+      m.getOrElseUpdate(toks(i), new mutable.ArrayBuffer[Int](4)) += i
+      i += 1
+    }
+    (m, toks.length)
+  }
+
   /** Term-frequency map of `content` plus the document length (token count).
     * Single pass via TokenCounter: allocates one String per DISTINCT term
     * (not per occurrence) — tokenization is the engine's hottest path and

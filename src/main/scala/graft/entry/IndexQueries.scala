@@ -131,6 +131,80 @@ object IndexQueries {
       .limit(k)
   }
 
+  /** The positional sidecar for dir's cached index (idempotent — the
+    * manifest `positions` record skips a completed build whose fingerprint
+    * matches the current content). */
+  def positionalFor(s: SparkSession, dir: String): IndexConfig = {
+    val cfg = indexFor(s, dir)
+    val key = s"$dir@${contentFingerprint(dir)}"
+    graft.index.PositionalIndex.build(s, corpusFromDocuments(s, dir), cfg,
+      fingerprint = key)
+    cfg
+  }
+
+  /** Exact-phrase BM25 over the documents table (Searcher.searchPhrase:
+    * the phrase scores as one synthetic term — tf = adjacency count, df =
+    * docs containing the sequence), mapped back to doc_id with the same
+    * adaptive rounded-tie widening as bm25(). */
+  def phraseBm25(s: SparkSession, dir: String, phrase: String,
+      k: Int): DataFrame = {
+    val cfg = positionalFor(s, dir)
+    val searcher = searcherFor(s, dir)
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var fetch = 3 * k + 20
+    var top = searcher.searchPhrase(phrase, fetch)
+    var closed = false
+    while (!closed) {
+      if (top.length < fetch || top.length < k) closed = true
+      else {
+        val kth = top.map(sd => (-r4(sd.score), sd.docId)).sorted
+          .apply(k - 1)._1
+        if (-kth > r4(top.last.score)) closed = true
+        else { fetch *= 4; top = searcher.searchPhrase(phrase, fetch) }
+      }
+    }
+    import s.implicits._
+    val scored = s.createDataset(top.toSeq).toDF()
+    val docmap = s.read.parquet(cfg.docsPath)
+      .select(col("docId"), col("path").cast("long").as("doc_id"))
+    scored.join(docmap, "docId")
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** The DuckDB oracle for phrase BM25: tokenize exactly like the engine
+    * (split + length filter BEFORE positions), count adjacency starts via
+    * a list lambda, then the single-synthetic-term BM25. */
+  def phraseOracleSql(phrase: Seq[String], k: Int,
+      docsSql: String = "SELECT doc_id, text FROM documents"): String = {
+    val m = phrase.length
+    val conds = phrase.zipWithIndex
+      .map { case (t, j) => if (j == 0) s"arr[i]='$t'" else s"arr[i+$j]='$t'" }
+      .mkString(" AND ")
+    s"""WITH docs2 AS ($docsSql),
+       |toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),'[^a-z0-9_]+'),
+       |                             t -> length(t) BETWEEN 2 AND 64) AS arr
+       |  FROM docs2),
+       |dl AS (SELECT doc_id, len(arr)::BIGINT AS dl FROM toks),
+       |stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+       |ph AS (
+       |  SELECT doc_id,
+       |    len(list_filter(range(1, len(arr) - ${m - 2}), i -> $conds))::BIGINT AS tf
+       |  FROM toks WHERE len(arr) >= $m),
+       |df AS (SELECT count(*)::BIGINT AS df FROM ph WHERE tf > 0),
+       |scores AS (
+       |  SELECT doc_id,
+       |    ln(1.0 + (s.n - df.df + 0.5)/(df.df + 0.5)) * 2.2 * ph.tf /
+       |      (ph.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS score
+       |  FROM ph JOIN dl USING (doc_id) CROSS JOIN stats s CROSS JOIN df
+       |  WHERE ph.tf > 0)
+       |SELECT doc_id, round(score, 4) AS score FROM scores
+       |ORDER BY round(score, 4) DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
   /** The round-1 full-scoring formulation (TAAT over every matching doc) —
     * kept as the cross-check twin for bm25()'s WAND serving path. */
   def bm25FullScore(s: SparkSession, dir: String, query: String,
@@ -180,6 +254,10 @@ object IndexQueries {
     // --- BM25 top-k through the full pipeline (two query mixes)
     "q50_bm25_hash_join" -> ((s, d) => bm25(s, d, "hash join", 20)),
     "q51_bm25_mixed" -> ((s, d) => bm25(s, d, "window merge customer", 20)),
+
+    // --- exact-phrase BM25 through the positional sidecar (adjacency in
+    //     the kept-token stream; the phrase scores as one synthetic term)
+    "q101_phrase_search" -> ((s, d) => phraseBm25(s, d, "table hash", 20)),
 
     // --- lexicon (df) vs SQL recomputation: top-50 by df
     "q52_index_lexicon" -> ((s, d) => {
@@ -327,6 +405,7 @@ object IndexQueries {
   val oracles: Map[String, String] = Map(
     "q50_bm25_hash_join" -> bm25OracleSql(Seq("hash", "join"), 20),
     "q51_bm25_mixed" -> bm25OracleSql(Seq("customer", "merge", "window"), 20),
+    "q101_phrase_search" -> phraseOracleSql(Seq("table", "hash"), 20),
     // q100 = the identical post-DML corpus and query, driven via SQL
     "q100_sql_search" -> bm25OracleSql(
       Seq("data", "graft_inserted_marker", "graft_refresh_marker"), 20,

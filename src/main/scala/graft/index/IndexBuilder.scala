@@ -61,6 +61,7 @@ final case class IndexConfig(
   def postingsPath: String = s"$indexDir/postings"
   def lexiconPath: String = s"$indexDir/lexicon"
   def metricsPath: String = s"$indexDir/metrics"
+  def positionsPath: String = s"$indexDir/positions"
 }
 
 object IndexConfig {

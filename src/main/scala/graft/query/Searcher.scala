@@ -32,7 +32,8 @@ import graft.model._
   */
 final class Searcher(spark: SparkSession, cfg: IndexConfig,
     localServeMaxBlocks: Long = Searcher.DefaultLocalServeMaxBlocks,
-    gatherMaxBlocks: Long = Searcher.GatherMaxBlocks)
+    gatherMaxBlocks: Long = Searcher.GatherMaxBlocks,
+    phraseGatherMaxPostings: Long = Searcher.PhraseGatherMaxPostings)
     extends Serializable {
   import spark.implicits._
 
@@ -279,12 +280,15 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
     * the IndexScan path prunes with. Files written by appends (merged
     * unranged) or missing stats degrade to [MinValue,MaxValue]: never
     * pruned, still correct. */
-  private lazy val postingsFileRanges: Seq[(String, Int, Int)] = {
+  private lazy val postingsFileRanges: Seq[(String, Int, Int)] =
+    termIdFileRanges(cfg.postingsPath)
+
+  private def termIdFileRanges(dirPath: String): Seq[(String, Int, Int)] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import scala.jdk.CollectionConverters._
     val conf = spark.sessionState.newHadoopConf()
-    val dir = new org.apache.hadoop.fs.Path(cfg.postingsPath)
+    val dir = new org.apache.hadoop.fs.Path(dirPath)
     val fs = dir.getFileSystem(conf)
     fs.listStatus(dir).toSeq
       .filter(_.getPath.getName.endsWith(".parquet"))
@@ -495,6 +499,104 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
     local.orderBy($"score".desc, $"docId".asc).limit(k).collect()
   }
 
+  // ---- phrase queries over the positional sidecar --------------------------
+
+  /** Per-file termId ranges of the positional layout (same footer-driven
+    * file-level prune as the postings layout). */
+  private lazy val positionsFileRanges: Seq[(String, Int, Int)] =
+    termIdFileRanges(cfg.positionsPath)
+
+  private[graft] def positionsFilesFor(termIds: Array[Int]): Seq[String] =
+    positionsFileRanges.collect {
+      case (p, mn, mx) if termIds.exists(t => t >= mn && t <= mx) => p
+    }
+
+  private def posRowsFor(termIds: Array[Int])
+      : Dataset[graft.index.PosPostingRow] = {
+    require(new graft.checkpoint.Manifest(cfg.indexDir)
+        .get("positions").nonEmpty,
+      s"phrase search needs the positional sidecar — run " +
+        s"PositionalIndex.build on ${cfg.indexDir}")
+    val sel = positionsFilesFor(termIds)
+    if (sel.isEmpty) return spark.emptyDataset[graft.index.PosPostingRow]
+    val base = if (sel.size == positionsFileRanges.size)
+      spark.read.parquet(cfg.positionsPath) else spark.read.parquet(sel: _*)
+    base.filter($"termId".isin(termIds.toSeq: _*))
+      .as[graft.index.PosPostingRow]
+  }
+
+  /** Exact BM25 top-k for an exact PHRASE (a token-adjacent sequence, in
+    * the tokenizer's kept-token stream). The phrase scores as ONE synthetic
+    * term: tf_d = occurrence count of the sequence in doc d, df = live docs
+    * with tf_d > 0, score = idf(N_live, df) * (k1+1) * tfNorm(tf_d, dl) —
+    * exactly the ranking the bag-of-words engine would produce had the
+    * phrase been indexed as a term. Tie-break: score DESC, docId ASC.
+    *
+    * Requires the positional sidecar ([[graft.index.PositionalIndex]]).
+    * Serving: when the phrase terms' total live df fits the gather budget
+    * the rows are collected and intersected driver-side (one job); above
+    * it, candidates shuffle by docId and df/top-k run distributed — the
+    * TAAT shape, bounded by the phrase terms' postings size. Both paths
+    * evaluate the identical score expression (bit-identical results,
+    * PhraseSpec). */
+  def searchPhrase(query: String, k: Int): Array[ScoredDoc] = {
+    val phrase = CodeTokenizer.tokenize(query, cfg.unicodeFold).toArray
+    if (phrase.isEmpty) return Array.empty
+    val uniq: Array[String] = phrase.distinct.sorted
+    val lex = lexLive(uniq)
+    if (!uniq.forall(lex.contains)) return Array.empty // a dead term kills it
+    val slotIds: Array[Int] = phrase.map(t => lex(t)._1)
+    val uniqIds = slotIds.distinct
+    val uniqCount = uniqIds.length
+    val n = liveStats.numDocs
+    val avgDl = liveStats.avgDl
+    val k1 = p.k1; val b = p.b
+
+    def score(w: Double, tf: Int, dl: Int): Double =
+      w * (tf / (tf + k1 * (1.0 - b + b * dl / avgDl)))
+
+    val totalPostings = uniq.map(t => lex(t)._2).sum
+    if (totalPostings <= phraseGatherMaxPostings) {
+      val dead = deadFn()
+      val cands = posRowsFor(uniqIds).collect()
+        .groupBy(_.docId).iterator.flatMap { case (d, rs) =>
+          if (dead(d)) None
+          else {
+            val tf = Searcher.phraseTfOf(slotIds, uniqCount, rs)
+            if (tf > 0) Some((d, tf, rs.head.dl)) else None
+          }
+        }.toArray
+      if (cands.isEmpty) return Array.empty
+      val w = IndexBuilder.idf(n, cands.length) * (k1 + 1.0)
+      return cands.iterator
+        .map { case (d, tf, dl) => ScoredDoc(d, score(w, tf, dl)) }
+        .toArray.sortBy(sd => (-sd.score, sd.docId)).take(k)
+    }
+
+    // distributed path: no driver-side candidate state beyond the top-k
+    val slotB = spark.sparkContext.broadcast(slotIds)
+    val tsB = tombstonesBroadcast
+    val uc = uniqCount
+    val cands = posRowsFor(uniqIds)
+      .groupByKey(_.docId)
+      .mapGroups { (d, it) =>
+        val rs = it.toArray
+        val ts = tsB.value
+        val tf = if (!ts.isEmpty && ts.contains(d)) 0
+          else Searcher.phraseTfOf(slotB.value, uc, rs)
+        (d, tf, if (rs.isEmpty) 0 else rs.head.dl)
+      }
+      .filter(_._2 > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val df = cands.count()
+      if (df == 0) return Array.empty
+      val w = IndexBuilder.idf(n, df) * (k1 + 1.0)
+      cands.map { case (d, tf, dl) => ScoredDoc(d, score(w, tf, dl)) }
+        .orderBy($"score".desc, $"docId".asc).limit(k).collect()
+    } finally cands.unpersist()
+  }
+
   /** Lineage check (BASELINE.json per-row invariant): every indexed doc's
     * stored sha matches sha2(content, 256) of the source row. Returns the
     * number of violations (0 = pass). */
@@ -525,6 +627,45 @@ object Searcher {
     * is under this, matched blocks are collected and scored driver-side —
     * one job, no shuffle (~8 MB at the default). */
   val GatherMaxBlocks: Long = 16384L
+
+  /** Per-query gather budget for PHRASE serving: when the phrase terms'
+    * total live df (known from the lexicon) is under this, the positional
+    * rows are collected and intersected driver-side in one job. */
+  val PhraseGatherMaxPostings: Long = 1048576L
+
+  /** Phrase tf of one document: the number of start positions p with
+    * slot j's term occurring at p + j for every j. Two-pointer intersection
+    * over the (strictly increasing) per-term position arrays — O(sum of
+    * position-list lengths). `rs` holds this doc's rows for the phrase's
+    * distinct terms; fewer rows than distinct terms means some term is
+    * absent, so the phrase cannot occur. Static so executor closures don't
+    * capture (and serialize) a Searcher. */
+  private[query] def phraseTfOf(slotIds: Array[Int], uniqCount: Int,
+      rs: Array[graft.index.PosPostingRow]): Int = {
+    if (rs.length < uniqCount) return 0
+    val byId = new java.util.HashMap[Int, Array[Int]]()
+    rs.foreach { r =>
+      byId.put(r.termId,
+        graft.index.PositionalIndex.decodePositions(r.posBytes, r.tf))
+    }
+    var starts = byId.get(slotIds(0))
+    if (starts == null) return 0
+    var j = 1
+    while (j < slotIds.length && starts.length > 0) {
+      val ps = byId.get(slotIds(j))
+      if (ps == null) return 0
+      val out = scala.collection.mutable.ArrayBuilder.make[Int]
+      var a = 0; var c = 0
+      while (a < starts.length && c < ps.length) {
+        val t = starts(a) + j
+        if (ps(c) < t) c += 1
+        else { if (ps(c) == t) out += starts(a); a += 1 }
+      }
+      starts = out.result()
+      j += 1
+    }
+    starts.length
+  }
 
   /** Serving bound on the tombstone set (driver-resident + broadcast,
     * 8 B/id ⇒ ~400 MB at the bound). An index that accumulates more
