@@ -408,8 +408,8 @@ object IndexBuilder {
     // 4× tasks per core in both paths: finer skew smoothing — the same
     // sizing rule a cluster deployment uses; heavy terms are salted so one
     // reducer sees at most ~df/numShards postings.
-    val blocks = if (!cfg.packRuns) {
-      salted
+    if (!cfg.packRuns) {
+      val blocks = salted
         .repartition(parts * 4, $"termId", $"salt")
         .sortWithinPartitions($"termId", $"salt", $"docId")
         .as[(Int, Int, Long, Int, Int)]
@@ -417,100 +417,124 @@ object IndexBuilder {
           encodeSortedPostings(it, nDocs, nShards, blockSize, bm25, avgDlV,
             metricsAcc)
         }
-    } else salted
-      .sortWithinPartitions($"termId", $"salt", $"docId")
-      .as[(Int, Int, Long, Int, Int)]
-      .mapPartitions(it => packRuns(it, RunPackCap))
-      .toDF("termId", "salt", "firstDocId", "n", "bytes")
-      .repartition(parts * 4, $"termId", $"salt")
-      .sortWithinPartitions($"termId", $"salt", $"firstDocId")
-      .as[(Int, Int, Long, Int, Array[Byte])]
-      .mapPartitions { it =>
-        val pid = TaskContext.getPartitionId()
-        val pt0 = System.nanoTime()
-        var rows = 0L; var bytesOut = 0L
-        // Consume one (termId, salt) group of runs at a time: heap-merge
-        // the group's run cursors (decoded lazily, byte-cursor state only)
-        // and emit blocks that never span a shard boundary. Group memory =
-        // the group's PACKED bytes (~5 B/posting), bounded by salting.
-        new Iterator[PostingBlockRow] {
-          private val base = it.buffered
-          private var lastTerm = Int.MinValue
-          private var blockIdx = 0
-          private var termId = 0
-          private var heap: scala.collection.mutable.PriorityQueue[RunCursor] = _
-          private var metricsEmitted = false
+      // ---- final layout: RANGE-partitioned on termId (round 6) ------------
+      // The encode shuffle hash-partitions on (termId, salt), so every
+      // output file would span the whole termId range and a term lookup
+      // must open every file. One extra pass over the encoded blocks
+      // rewrites them range-partitioned and sorted on (termId, shard,
+      // blockIdx). Two-phase because repartitionByRange samples its child:
+      // sampling the written parquet costs one cheap scan, sampling the
+      // un-materialized encode lineage would re-run the whole
+      // explode+join map side. (The packed path below avoids the extra
+      // pass entirely — this raw-row path is the non-default deployment
+      // toggle.)
+      val unranged = s"$outPath.unranged"
+      blocks.write.mode("overwrite").parquet(unranged)
+      spark.read.parquet(unranged)
+        .repartitionByRange(parts * 4, $"termId", $"shard", $"blockIdx")
+        .sortWithinPartitions($"termId", $"shard", $"blockIdx")
+        .write.mode("overwrite").parquet(outPath)
+      val hconf = spark.sessionState.newHadoopConf()
+      val up = new org.apache.hadoop.fs.Path(unranged)
+      up.getFileSystem(hconf).delete(up, true)
+    } else {
+      // ---- packed path: ONE range-placed shuffle, final layout directly ---
+      // The packed runs are persisted (executor block-manager cache — the
+      // ~5 B/posting footprint the old design wrote to a staging parquet
+      // dir), so repartitionByRange's sampling job materializes the
+      // explode+join+pack lineage exactly once and the shuffle re-reads the
+      // cache. Range placement on (termId, salt) keeps every reduce group
+      // whole (equal keys map to one range partition) while making each
+      // output file a narrow contiguous termId slice — the file-level
+      // IndexScan layout (postingsFilesFor) with NO second pass over the
+      // data: round 6's staged rewrite (write + re-read + re-shuffle +
+      // re-write of all packed bytes) was parallelism-independent IO that
+      // measurably dragged the N→4N scaling ratio, so the layout now comes
+      // from the one shuffle the encode already needs. blockIdx resets per
+      // (termId, salt) group — placement-independent, so the raw-row path
+      // above emits bit-identical rows (IndexSpec pins it).
+      val runs = salted
+        .sortWithinPartitions($"termId", $"salt", $"docId")
+        .as[(Int, Int, Long, Int, Int)]
+        .mapPartitions(it => packRuns(it, RunPackCap))
+        .toDF("termId", "salt", "firstDocId", "n", "bytes")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        runs
+          .repartitionByRange(parts * 4, $"termId", $"salt")
+          .sortWithinPartitions($"termId", $"salt", $"firstDocId")
+          .as[(Int, Int, Long, Int, Array[Byte])]
+          .mapPartitions { it =>
+            val pid = TaskContext.getPartitionId()
+            val pt0 = System.nanoTime()
+            var rows = 0L; var bytesOut = 0L
+            // Consume one (termId, salt) group of runs at a time: heap-merge
+            // the group's run cursors (decoded lazily, byte-cursor state
+            // only) and emit blocks that never span a shard boundary. Group
+            // memory = the group's PACKED bytes (~5 B/posting), bounded by
+            // salting.
+            new Iterator[PostingBlockRow] {
+              private val base = it.buffered
+              private var lastTerm = Int.MinValue
+              private var lastSalt = Int.MinValue
+              private var blockIdx = 0
+              private var termId = 0
+              private var heap: scala.collection.mutable.PriorityQueue[RunCursor] = _
+              private var metricsEmitted = false
 
-          private def groupPending: Boolean = heap != null && heap.nonEmpty
+              private def groupPending: Boolean = heap != null && heap.nonEmpty
 
-          def hasNext: Boolean = {
-            val h = groupPending || base.hasNext
-            if (!h && !metricsEmitted) {
-              metricsAcc.add(PartitionMetric("postings", pid, rows, rows,
-                bytesOut, (System.nanoTime() - pt0) / 1000000))
-              metricsEmitted = true
+              def hasNext: Boolean = {
+                val h = groupPending || base.hasNext
+                if (!h && !metricsEmitted) {
+                  metricsAcc.add(PartitionMetric("postings", pid, rows, rows,
+                    bytesOut, (System.nanoTime() - pt0) / 1000000))
+                  metricsEmitted = true
+                }
+                h
+              }
+
+              private def loadGroup(): Unit = {
+                termId = base.head._1
+                val salt = base.head._2
+                if (termId != lastTerm || salt != lastSalt) {
+                  blockIdx = 0; lastTerm = termId; lastSalt = salt
+                }
+                heap = scala.collection.mutable.PriorityQueue.empty[RunCursor](
+                  Ordering.by[RunCursor, Long](_.docId).reverse)
+                while (base.hasNext && base.head._1 == termId &&
+                    base.head._2 == salt) {
+                  val c = new RunCursor(base.next()._5)
+                  if (c.alive) heap.enqueue(c)
+                }
+              }
+
+              def next(): PostingBlockRow = {
+                if (!groupPending) loadGroup()
+                val shard = shardOf(heap.head.docId, nDocs, nShards)
+                val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+                var continue = true
+                while (continue && heap.nonEmpty && buf.length < blockSize) {
+                  val c = heap.head
+                  if (shardOf(c.docId, nDocs, nShards) == shard) {
+                    heap.dequeue()
+                    buf += ((c.docId, c.tf, c.dl)); rows += 1
+                    c.advance()
+                    if (c.alive) heap.enqueue(c)
+                  } else continue = false
+                }
+                val b = PostingCodec.buildBlocks(termId, shard, buf.toSeq,
+                  (tf, dl) => tfNorm(tf, dl, avgDlV, bm25), blockSize)
+                  .head.copy(blockIdx = blockIdx)
+                blockIdx += 1
+                bytesOut += b.bytes.length
+                b
+              }
             }
-            h
           }
-
-          private def loadGroup(): Unit = {
-            termId = base.head._1
-            val salt = base.head._2
-            if (termId != lastTerm) { blockIdx = 0; lastTerm = termId }
-            heap = scala.collection.mutable.PriorityQueue.empty[RunCursor](
-              Ordering.by[RunCursor, Long](_.docId).reverse)
-            while (base.hasNext && base.head._1 == termId &&
-                base.head._2 == salt) {
-              val c = new RunCursor(base.next()._5)
-              if (c.alive) heap.enqueue(c)
-            }
-          }
-
-          def next(): PostingBlockRow = {
-            if (!groupPending) loadGroup()
-            val shard = shardOf(heap.head.docId, nDocs, nShards)
-            val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
-            var continue = true
-            while (continue && heap.nonEmpty && buf.length < blockSize) {
-              val c = heap.head
-              if (shardOf(c.docId, nDocs, nShards) == shard) {
-                heap.dequeue()
-                buf += ((c.docId, c.tf, c.dl)); rows += 1
-                c.advance()
-                if (c.alive) heap.enqueue(c)
-              } else continue = false
-            }
-            val b = PostingCodec.buildBlocks(termId, shard, buf.toSeq,
-              (tf, dl) => tfNorm(tf, dl, avgDlV, bm25), blockSize)
-              .head.copy(blockIdx = blockIdx)
-            blockIdx += 1
-            bytesOut += b.bytes.length
-            b
-          }
-        }
-      }
-    // ---- final layout: RANGE-partitioned on termId (round 6) --------------
-    // The encode shuffle hash-partitions on (termId, salt), so every output
-    // file would span the whole termId range and a term lookup must open
-    // every file (row-group min/max pruning only fires inside them). One
-    // extra pass over the PACKED blocks (~5 B/posting — a fraction of the
-    // encode shuffle) rewrites them range-partitioned and sorted on
-    // (termId, shard, blockIdx): each parquet file covers a narrow
-    // contiguous termId slice, so a query's terms resolve to O(1) files out
-    // of all of them — the Searcher prunes on footer stats
-    // (postingsFilesFor) and IndexSpec pins it. Two-phase because
-    // repartitionByRange samples its child: sampling the written parquet
-    // costs one cheap scan, sampling the un-materialized encode lineage
-    // would re-run the whole explode+join+pack map side.
-    val unranged = s"$outPath.unranged"
-    blocks.write.mode("overwrite").parquet(unranged)
-    spark.read.parquet(unranged)
-      .repartitionByRange(parts * 4, $"termId", $"shard", $"blockIdx")
-      .sortWithinPartitions($"termId", $"shard", $"blockIdx")
-      .write.mode("overwrite").parquet(outPath)
-    val hconf = spark.sessionState.newHadoopConf()
-    val up = new org.apache.hadoop.fs.Path(unranged)
-    up.getFileSystem(hconf).delete(up, true)
+          .write.mode("overwrite").parquet(outPath)
+      } finally runs.unpersist()
+    }
     spark.read.parquet(outPath).count()
   }
 
@@ -533,6 +557,7 @@ object IndexBuilder {
     val base = it0.buffered
     new Iterator[PostingBlockRow] {
       private var lastTerm = Int.MinValue
+      private var lastSalt = Int.MinValue
       private var blockIdx = 0
       private var rows = 0L
       private var bytesOut = 0L
@@ -550,7 +575,11 @@ object IndexBuilder {
 
       def next(): PostingBlockRow = {
         val (termId, salt, first, _, _) = base.head
-        if (termId != lastTerm) { blockIdx = 0; lastTerm = termId }
+        // blockIdx resets per (termId, salt) GROUP — placement-independent,
+        // so the packed path emits identical rows under any partitioning
+        if (termId != lastTerm || salt != lastSalt) {
+          blockIdx = 0; lastTerm = termId; lastSalt = salt
+        }
         val shard = shardOf(first, nDocs, nShards)
         val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
         var continue = true
