@@ -875,7 +875,7 @@ object IndexBuilder {
     * previously-moved files with the same prefix are deleted first (Spark
     * part-file names embed a fresh UUID per write, so a blind re-move would
     * duplicate rows). */
-  private def mergeParquetDir(stageDir: String, targetDir: String,
+  private[index] def mergeParquetDir(stageDir: String, targetDir: String,
       prefix: String): Unit = {
     val stage = new java.io.File(stageDir)
     val target = new java.io.File(targetDir)
@@ -935,10 +935,20 @@ object IndexBuilder {
     val base = st.numDocs
     // count only the FINAL per-append records (merge step records carry a
     // distinct "merge-" prefix so an in-flight append doesn't bump the idx)
-    val appendIdx = manifest.read().keys.count(_.matches("append-\\d+"))
+    val records = manifest.read()
+    val appendIdx = records.keys.count(_.matches("append-\\d+"))
     val shardBase = (appendIdx + 1) * cfg.numShards
     val fp = s"v$FormatVersion:" +
       (if (fingerprint.nonEmpty) fingerprint else s"append$appendIdx")
+    // Retry guard: a caller-identified append that already COMPLETED — the
+    // caller crashed after our final record committed but before recording
+    // its own progress (TableIndexer.refresh's commitSync) — must be a
+    // no-op. Without it the retry would count the completed record into
+    // appendIdx and append the same batch again as a fresh segment,
+    // double-indexing every row.
+    if (fingerprint.nonEmpty && records.exists { case (k, r) =>
+        k.matches("append-\\d+") && r.inputFingerprint == fp })
+      return st
     val t0 = System.nanoTime()
 
     // 1) standalone sub-index for the batch (internally checkpointed; a
@@ -1043,8 +1053,10 @@ object IndexBuilder {
     val numDocs = base + subStats.numDocs
     val totalTokens = st.totalTokens + subStats.totalTokens
     val avgDl = totalTokens.toDouble / math.max(numDocs, 1L)
+    // the record carries the CALLER's fingerprint — the retry guard above
+    // matches on it to make a replayed same-batch append a no-op
     manifest.commit(StageRecord(s"append-$appendIdx", "complete",
-      s"v$FormatVersion:append$appendIdx", subStats.numDocs,
+      fp, subStats.numDocs,
       (System.nanoTime() - t0) / 1000000,
       Map("docIdBase" -> base.toString, "shardBase" -> shardBase.toString,
           "avgDlAtBuild" -> subStats.avgDl.toString)))

@@ -46,17 +46,50 @@ final case class PosPostingRow(
   * Resumable: the `positions` manifest record skips a completed build with
   * a matching fingerprint (the same stage discipline as build()).
   *
-  * Maintenance boundary (declared): the sidecar is NOT incrementally
-  * maintained by TableIndexer refreshes — a deployment serving phrases
-  * over a mutating table rebuilds the sidecar from the live snapshot
-  * (build() with the new fingerprint overwrites in place), the same
-  * rebuild-on-refresh contract as the index compact() path. Tombstones of
-  * the MAIN index are honored at query time (searchPhrase skips dead
-  * docs), so a phrase query between DML and rebuild never surfaces
-  * deleted documents; documents added since the last sidecar build are
-  * simply not phrase-matchable yet.
+  * Maintenance: the sidecar follows the main index's segment model.
+  * [[append]] adds one batch of freshly-appended documents as
+  * `possegN-` part files inside the same positions dir (the layout stays
+  * a union of range-sorted runs — file-level footer pruning holds per
+  * file), and [[graft.index.TableIndexer.refresh]] drives it from the
+  * same commit diff as the main append. Deletes need NO positional
+  * bookkeeping: searchPhrase computes phrase df and tf live from the
+  * position rows and skips the MAIN index's tombstones, so phrase scores
+  * after any incremental cycle equal a from-scratch rebuild of the live
+  * snapshot exactly (PhraseSpec pins it). compact() rebuilds the sidecar
+  * fresh alongside the main index, dropping dead rows.
   */
 object PositionalIndex {
+
+  /** (termId, docId, tf, dl, posBytes) rows for `corpus`, docIds resolved
+    * against the index's docs table restricted to `docId >= baseDocId` —
+    * for an appended batch the floor is the append's docId base, so a key
+    * REWRITTEN by an update (its old docId just died as a tombstone) maps
+    * only to its fresh id, never to the dead twin. */
+  private def positionRows(spark: SparkSession, corpus: Dataset[SourceFile],
+      cfg: IndexConfig, baseDocId: Long) = {
+    import spark.implicits._
+    val uniFold = cfg.unicodeFold
+    val perTerm = corpus.flatMap { sf =>
+      val (poss, dl) = CodeTokenizer.termPositions(sf.content, uniFold)
+      poss.iterator.map { case (term, ps) =>
+        val out = scala.collection.mutable.ArrayBuilder.make[Byte]
+        var prev = 0
+        var j = 0
+        while (j < ps.length) {
+          VByte.encode((ps(j) - prev).toLong, out); prev = ps(j); j += 1
+        }
+        (sf.repo, sf.path, sf.commit, term, ps.length, dl, out.result())
+      }
+    }.toDF("repo", "path", "commit", "term", "tf", "dl", "posBytes")
+    perTerm
+      .join(spark.read.parquet(cfg.docsPath)
+          .filter($"docId" >= baseDocId)
+          .select($"docId", $"repo", $"path", $"commit"),
+        Seq("repo", "path", "commit"))
+      .join(spark.read.parquet(cfg.vocabPath).select($"termId", $"term"),
+        "term") // AQE broadcasts the vocab when small
+      .select($"termId", $"docId", $"tf", $"dl", $"posBytes")
+  }
 
   /** Build (or reuse) the positional sidecar. Returns the row count. */
   def build(spark: SparkSession, corpus: Dataset[SourceFile],
@@ -73,31 +106,52 @@ object PositionalIndex {
     val t0 = System.nanoTime()
     val parts = if (cfg.buildPartitions > 0) cfg.buildPartitions
       else spark.sparkContext.defaultParallelism
-    val uniFold = cfg.unicodeFold
-    val perTerm = corpus.flatMap { sf =>
-      val (poss, dl) = CodeTokenizer.termPositions(sf.content, uniFold)
-      poss.iterator.map { case (term, ps) =>
-        val out = scala.collection.mutable.ArrayBuilder.make[Byte]
-        var prev = 0
-        var j = 0
-        while (j < ps.length) {
-          VByte.encode((ps(j) - prev).toLong, out); prev = ps(j); j += 1
-        }
-        (sf.repo, sf.path, sf.commit, term, ps.length, dl, out.result())
-      }
-    }.toDF("repo", "path", "commit", "term", "tf", "dl", "posBytes")
-
-    perTerm
-      .join(spark.read.parquet(cfg.keymapPath), Seq("repo", "path", "commit"))
-      .join(spark.read.parquet(cfg.vocabPath).select($"termId", $"term"),
-        "term") // AQE broadcasts the vocab when small
-      .select($"termId", $"docId", $"tf", $"dl", $"posBytes")
+    positionRows(spark, corpus, cfg, baseDocId = 0L)
       .repartitionByRange(parts, $"termId", $"docId")
       .sortWithinPartitions($"termId", $"docId")
       .write.mode("overwrite").parquet(cfg.positionsPath)
 
     val n = spark.read.parquet(cfg.positionsPath).count()
     manifest.commit(StageRecord("positions", "complete", fp, n,
+      (System.nanoTime() - t0) / 1000000, Map.empty))
+    n
+  }
+
+  /** Append one batch's position rows as a new positional segment —
+    * the sidecar half of [[IndexBuilder.append]] (call it AFTER the main
+    * append: the batch's final docIds and any new termIds come from the
+    * just-merged docs table and vocabulary). `baseDocId` = the main
+    * append's docId base (corpus size before the append). Idempotent on
+    * retry: a posseg record with the same caller fingerprint short-
+    * circuits, and the staged-write → prefix-delete → move merge keys on
+    * the segment index. Returns the batch's row count. */
+  def append(spark: SparkSession, batch: Dataset[SourceFile],
+      cfg: IndexConfig, fingerprint: String, baseDocId: Long): Long = {
+    import spark.implicits._
+    val manifest = new Manifest(cfg.indexDir)
+    require(manifest.get("positions").nonEmpty,
+      s"no positional sidecar at ${cfg.indexDir} — build() it first")
+    require(fingerprint.nonEmpty, "positional append needs a fingerprint")
+    val fp = s"v${IndexBuilder.FormatVersion}:positions:$fingerprint"
+    val existing = manifest.read()
+    val prior = existing.collectFirst {
+      case (k, r) if k.matches("posseg-\\d+") && r.inputFingerprint == fp =>
+        r.rows
+    }
+    if (prior.isDefined) return prior.get
+    val segIdx = existing.keys.count(_.matches("posseg-\\d+"))
+
+    val t0 = System.nanoTime()
+    val parts = if (cfg.buildPartitions > 0) cfg.buildPartitions
+      else spark.sparkContext.defaultParallelism
+    val stage = s"${cfg.indexDir}/stage_positions_$segIdx"
+    positionRows(spark, batch, cfg, baseDocId)
+      .repartitionByRange(parts, $"termId", $"docId")
+      .sortWithinPartitions($"termId", $"docId")
+      .write.mode("overwrite").parquet(stage)
+    val n = spark.read.parquet(stage).count()
+    IndexBuilder.mergeParquetDir(stage, cfg.positionsPath, s"posseg$segIdx")
+    manifest.commit(StageRecord(s"posseg-$segIdx", "complete", fp, n,
       (System.nanoTime() - t0) / 1000000, Map.empty))
     n
   }

@@ -84,13 +84,18 @@ final class TableIndexer(spark: SparkSession, ops: TableOps,
     manifest.get("tableSync").map(_.extra("version").toLong).getOrElse(-1L)
 
   /** Build the index from the table's current snapshot and record the
-    * synced version. */
-  def create(table: String): CorpusStats = {
+    * synced version. `positions = true` also builds the positional
+    * sidecar ([[PositionalIndex]] — phrase queries); refreshes then keep
+    * it maintained alongside the main index. */
+  def create(table: String, positions: Boolean = false): CorpusStats = {
     recoverSwap()
     val v = ops.currentVersion(table)
     require(v >= 0, s"table $table does not exist")
     val st = IndexBuilder.build(spark, toCorpus(ops.readVersion(table, v)),
       cfg, fingerprint = s"table:$table:v$v")
+    if (positions)
+      PositionalIndex.build(spark, toCorpus(ops.readVersion(table, v)),
+        cfg, fingerprint = s"table:$table:v$v")
     commitSync(table, v)
     st
   }
@@ -123,6 +128,15 @@ final class TableIndexer(spark: SparkSession, ops: TableOps,
     ops.readFilesOf(table, cur, added).filterNot(_.isEmpty).foreach { df =>
       IndexBuilder.append(spark, toCorpus(df), cfg,
         fingerprint = s"table:$table:v$synced-v$cur")
+      // positional sidecar (when built): the batch's position rows land as
+      // one positional segment, resolved against the just-merged docs
+      // table with `base` as the docId floor — a key REWRITTEN by an
+      // update maps only to its fresh id, never its dead twin. Deletes
+      // need no positional bookkeeping: phrase df/tf are computed live
+      // and tombstoned docs are skipped at query time.
+      if (manifest.get("positions").nonEmpty)
+        PositionalIndex.append(spark, toCorpus(df), cfg,
+          fingerprint = s"table:$table:v$synced-v$cur", baseDocId = base)
     }
 
     if (removed.nonEmpty) {
@@ -210,6 +224,11 @@ final class TableIndexer(spark: SparkSession, ops: TableOps,
     val subCfg = cfg.copy(indexDir = rebuildDir)
     IndexBuilder.build(spark, toCorpus(ops.readVersion(table, v)), subCfg,
       fingerprint = s"table:$table:v$v:rebuild")
+    // a maintained positional sidecar is rebuilt fresh with the index
+    // (single range-sorted layout again, dead rows dropped)
+    if (manifest.get("positions").nonEmpty)
+      PositionalIndex.build(spark, toCorpus(ops.readVersion(table, v)),
+        subCfg, fingerprint = s"table:$table:v$v:rebuild")
     new Manifest(rebuildDir).commit(StageRecord("tableSync", "complete",
       s"$table:v$v", v, 0L,
       Map("table" -> table, "version" -> v.toString)))

@@ -129,4 +129,79 @@ class PhraseSpec extends AnyFunSuite {
     assert(s.searchPhrase("zzqqzzqq if", 10).isEmpty)
     assert(s.searchPhrase("", 10).isEmpty)
   }
+
+  test("maintained positional sidecar: refresh == from-scratch rebuild; " +
+      "append retries are no-ops") {
+    import org.apache.spark.sql.functions._
+    val root = TestSpark.tmpDir("graft-phrase-maint")
+    val ops = new graft.sources.TableOps(spark, root)
+    ops.create("pdocs",
+      corpusDS.limit(120).toDF().repartition(3, col("path")))
+    val c = IndexConfig(indexDir = s"$root/__idx", numShards = 2,
+      buildPartitions = 4, heavyDfThreshold = 500)
+    val ti = new graft.index.TableIndexer(spark, ops, c)
+    ti.create("pdocs", positions = true)
+    val v0 = ops.currentVersion("pdocs")
+
+    // delete a slice, update another (rewrites whole files — carried rows
+    // re-enter with fresh docIds), insert docs carrying an adjacent pair
+    ops.delete("pdocs", pmod(crc32(col("path")), lit(5)) === 0)
+    ops.update("pdocs", pmod(crc32(col("path")), lit(5)) === 1, "content",
+      concat(col("content"), lit(" pmarker pmarker")))
+    ops.insert("pdocs", Seq(
+      SourceFile("zz", "pnew1", "c", "t", "pmarker pmarker alpha beta"),
+      SourceFile("zz", "pnew2", "c", "t", "alpha pmarker beta pmarker pmarker"),
+      SourceFile("zz", "pnew3", "c", "t", "no marker pair here pmarker"))
+      .toDS().toDF())
+    ti.refresh("pdocs")
+    val vCur = ops.currentVersion("pdocs")
+
+    // the sidecar was APPENDED, not rebuilt: a posseg segment landed
+    assert(new java.io.File(c.positionsPath).listFiles()
+      .exists(_.getName.startsWith("posseg0-")), "positional segment missing")
+
+    // from-scratch twin over the live snapshot
+    val c2 = IndexConfig(indexDir = TestSpark.tmpDir("graft-phrase-maintref"),
+      numShards = 2, buildPartitions = 4, heavyDfThreshold = 500)
+    val live = ops.read("pdocs")
+      .select($"repo", $"path", $"commit", $"lang", $"content")
+      .as[SourceFile]
+    IndexBuilder.build(spark, live, c2, "maint-ref")
+    PositionalIndex.build(spark, live, c2, "maint-ref")
+
+    def byKey(cc: IndexConfig, top: Array[graft.model.ScoredDoc])
+        : Map[(String, String), Double] = {
+      val keys = spark.read.parquet(cc.docsPath)
+        .select($"docId", $"repo", $"path").as[(Long, String, String)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+      top.map(sd => keys(sd.docId) -> sd.score).toMap
+    }
+    val sM = new Searcher(spark, c)
+    val sR = new Searcher(spark, c2)
+    Seq("pmarker pmarker", "if return", "alpha beta").foreach { ph =>
+      val m = byKey(c, sM.searchPhrase(ph, 1000))
+      val r = byKey(c2, sR.searchPhrase(ph, 1000))
+      assert(m == r, s"maintained != rebuild for phrase '$ph'")
+    }
+    // the marker phrase must actually exercise updated AND inserted docs
+    val marker = byKey(c, sM.searchPhrase("pmarker pmarker", 1000))
+    assert(marker.keys.exists(_._1 == "zz"), "inserted docs missing")
+    assert(marker.keys.exists(_._1 != "zz"), "updated docs missing")
+
+    // retry guards: replaying the SAME append (main + positional) is a
+    // no-op — the crash window between the refresh's final append record
+    // and its sync record must not double-index the batch
+    val fpRetry = s"table:pdocs:v$v0-v$vCur"
+    val batch = ops.read("pdocs").limit(2)
+      .select($"repo", $"path", $"commit", $"lang", $"content").as[SourceFile]
+    val docsBefore = IndexBuilder.stats(c).numDocs
+    IndexBuilder.append(spark, batch, c, fingerprint = fpRetry)
+    assert(IndexBuilder.stats(c).numDocs == docsBefore, "append replayed")
+    val posBefore = spark.read.parquet(c.positionsPath).count()
+    PositionalIndex.append(spark, batch, c, fingerprint = fpRetry,
+      baseDocId = 0L)
+    assert(spark.read.parquet(c.positionsPath).count() == posBefore,
+      "positional append replayed")
+    sM.close(); sR.close()
+  }
 }
