@@ -103,32 +103,24 @@ object IndexQueries {
     * corpus, so the tie-break keys agree.) Bm25PathSpec pins this against
     * the full scoreAll ranking. */
   def bm25(s: SparkSession, dir: String, query: String, k: Int): DataFrame = {
-    import s.implicits._
     val cfg = indexFor(s, dir)
     val searcher = searcherFor(s, dir)
-    def r4(x: Double): Double = // Spark round(): BigDecimal HALF_UP
-      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    var fetch = 3 * k + 20
-    var top = searcher.searchWAND(query, fetch)
-    var closed = false
-    while (!closed) {
-      if (top.length < fetch || top.length < k) closed = true // have everything
-      else {
-        val kth = top.map(sd => (-r4(sd.score), sd.docId)).sorted
-          .apply(k - 1)._1
-        // docs beyond the fetch score <= the last fetched EXACT score, so
-        // they can contest the cut only if its rounded score ties the kth
-        if (-kth > r4(top.last.score)) closed = true
-        else { fetch *= 4; top = searcher.searchWAND(query, fetch) }
-      }
-    }
-    val scored = s.createDataset(top.toSeq).toDF()
-    val docmap = s.read.parquet(cfg.docsPath)
-      .select(col("docId"), col("path").cast("long").as("doc_id"))
-    scored.join(docmap, "docId")
-      .select(col("doc_id"), round(col("score"), 4).as("score"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(k)
+    adaptiveTopDf(s, cfg, k)(fetch => searcher.searchWAND(query, fetch))
+  }
+
+  /** Attribute-filtered BM25 over the documents table: only docs matching
+    * `langFilter` may surface; scores stay those of the UNFILTERED index
+    * (Lucene FilteredQuery semantics — [[graft.query.Searcher.searchWhere]]). */
+  def bm25Where(s: SparkSession, dir: String, query: String,
+      lang: String, k: Int): DataFrame = {
+    val cfg = indexFor(s, dir)
+    val searcher = searcherFor(s, dir)
+    val allowed = s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("lang") === lang)
+      .select(format_string("%09d", col("doc_id")).as("path"))
+      .join(s.read.parquet(cfg.docsPath), "path")
+      .select(col("docId"))
+    adaptiveTopDf(s, cfg, k)(fetch => searcher.searchWhere(query, fetch, allowed))
   }
 
   /** The positional sidecar for dir's cached index (idempotent — the
@@ -150,10 +142,25 @@ object IndexQueries {
       k: Int): DataFrame = {
     val cfg = positionalFor(s, dir)
     val searcher = searcherFor(s, dir)
+    phraseTopDf(s, searcher, cfg, phrase, k)
+  }
+
+  /** searchPhrase with the adaptive rounded-tie widening, mapped back to
+    * doc_id (the bm25() serving discipline, shared by q101/q102). */
+  private def phraseTopDf(s: SparkSession, searcher: Searcher,
+      cfg: IndexConfig, phrase: String, k: Int): DataFrame =
+    adaptiveTopDf(s, cfg, k)(fetch => searcher.searchPhrase(phrase, fetch))
+
+  /** `search(fetch)` under the adaptive rounded-tie widening (top-(3k+20)
+    * by EXACT score, widened 4× while the rounded kth score could still be
+    * contested past the fetch), mapped back to doc_id — the serving
+    * discipline every index entry shares (see [[bm25]]'s scaladoc). */
+  private def adaptiveTopDf(s: SparkSession, cfg: IndexConfig, k: Int)(
+      search: Int => Array[graft.model.ScoredDoc]): DataFrame = {
     def r4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     var fetch = 3 * k + 20
-    var top = searcher.searchPhrase(phrase, fetch)
+    var top = search(fetch)
     var closed = false
     while (!closed) {
       if (top.length < fetch || top.length < k) closed = true
@@ -161,11 +168,11 @@ object IndexQueries {
         val kth = top.map(sd => (-r4(sd.score), sd.docId)).sorted
           .apply(k - 1)._1
         if (-kth > r4(top.last.score)) closed = true
-        else { fetch *= 4; top = searcher.searchPhrase(phrase, fetch) }
+        else { fetch *= 4; top = search(fetch) }
       }
     }
-    import s.implicits._
-    val scored = s.createDataset(top.toSeq).toDF()
+    val scored = s.createDataset(top.toSeq)(
+      org.apache.spark.sql.Encoders.product[graft.model.ScoredDoc]).toDF()
     val docmap = s.read.parquet(cfg.docsPath)
       .select(col("docId"), col("path").cast("long").as("doc_id"))
     scored.join(docmap, "docId")
@@ -224,8 +231,11 @@ object IndexQueries {
     * ln(1 + (N - df + 0.5)/(df + 0.5)), tf-norm with k1/b, N and avgdl over
     * ALL docs incl. token-less ones — identical to IndexBuilder). */
   def bm25OracleSql(terms: Seq[String], k: Int,
-      docsSql: String = "SELECT doc_id, text FROM documents"): String = {
+      docsSql: String = "SELECT doc_id, text FROM documents",
+      allowSql: String = ""): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
+    val allowWhere =
+      if (allowSql.isEmpty) "" else s"WHERE doc_id IN ($allowSql)"
     s"""WITH docs2 AS ($docsSql),
        |toks AS (
        |  SELECT doc_id, t AS term FROM (
@@ -244,7 +254,7 @@ object IndexQueries {
        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
        |  WHERE tf.term IN ($inList)
        |  GROUP BY 1)
-       |SELECT doc_id, round(score, 4) AS score FROM scores
+       |SELECT doc_id, round(score, 4) AS score FROM scores $allowWhere
        |ORDER BY round(score, 4) DESC, doc_id ASC LIMIT $k""".stripMargin
   }
 
@@ -258,6 +268,10 @@ object IndexQueries {
     // --- exact-phrase BM25 through the positional sidecar (adjacency in
     //     the kept-token stream; the phrase scores as one synthetic term)
     "q101_phrase_search" -> ((s, d) => phraseBm25(s, d, "table hash", 20)),
+    // --- attribute-filtered search: only lang='es' docs may surface,
+    //     scores stay those of the unfiltered index (Lucene FilteredQuery
+    //     semantics); the oracle computes full-corpus BM25 then filters
+    "q104_filtered_search" -> ((s, d) => bm25Where(s, d, "hash join", "es", 20)),
 
     // --- lexicon (df) vs SQL recomputation: top-50 by df
     "q52_index_lexicon" -> ((s, d) => {
@@ -318,6 +332,43 @@ object IndexQueries {
         .select(col("doc_id"), round(col("score"), 4).as("score"))
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(20)
+      val rows = out.collect() // materialize before closing the searcher
+      searcher.close()
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), out.schema)
+    }),
+
+    // --- maintained POSITIONAL sidecar: the q99 lifecycle with phrase
+    //     queries — create WITH positions, run the same delete + update +
+    //     insert round, refresh (main segment append + one positional
+    //     segment, tombstones shared), then score an exact phrase. The
+    //     oracle recomputes phrase BM25 over the post-DML corpus from
+    //     scratch, so the incremental positions (and the live df/N/avgdl
+    //     the phrase scorer uses) are all value-checked.
+    "q102_phrase_maintained" -> ((s, d) => {
+      import graft.index.TableIndexer
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft-tphr-" +
+        d.replaceAll("[^a-zA-Z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val ops = new graft.sources.TableOps(s, root)
+      ops.create("docs",
+        corpusFromDocuments(s, d).toDF().repartition(4, col("path")))
+      val tCfg = IndexConfig(indexDir = s"$root/__idx", numShards = 8,
+        heavyDfThreshold = 1000, buildPartitions = 8)
+      val ti = new TableIndexer(s, ops, tCfg)
+      ti.create("docs", positions = true)
+      ops.delete("docs", col("lang") === "fr")
+      ops.update("docs", col("lang") === "de", "content",
+        concat(col("content"), lit(" graft_refresh_marker graft_refresh_marker")))
+      ops.insert("docs", s.read.parquet(s"$d/documents.parquet")
+        .filter(col("lang") === "es")
+        .select(lit("corpus").as("repo"),
+          format_string("%09d", col("doc_id") + lit(1000000L)).as("path"),
+          lit("0000000000000000000000000000000000000000").as("commit"),
+          col("lang"),
+          concat(lit("graft_inserted_marker "), col("text")).as("content")))
+      ti.refresh("docs")
+      val searcher = new Searcher(s, tCfg)
+      val out = phraseTopDf(s, searcher, tCfg, "table hash", 20)
       val rows = out.collect() // materialize before closing the searcher
       searcher.close()
       s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), out.schema)
@@ -406,6 +457,20 @@ object IndexQueries {
     "q50_bm25_hash_join" -> bm25OracleSql(Seq("hash", "join"), 20),
     "q51_bm25_mixed" -> bm25OracleSql(Seq("customer", "merge", "window"), 20),
     "q101_phrase_search" -> phraseOracleSql(Seq("table", "hash"), 20),
+    // full-corpus BM25 (df/N over ALL docs), result set filtered to es —
+    // exactly the filtered-search semantics
+    "q104_filtered_search" -> bm25OracleSql(Seq("hash", "join"), 20,
+      allowSql = "SELECT doc_id FROM documents WHERE lang = 'es'"),
+    // phrase BM25 over the post-DML corpus rebuilt from scratch in SQL —
+    // what the incrementally-maintained positional sidecar must equal
+    "q102_phrase_maintained" -> phraseOracleSql(Seq("table", "hash"), 20,
+      docsSql = """SELECT doc_id, text FROM documents WHERE lang NOT IN ('fr','de')
+        | UNION ALL SELECT doc_id,
+        |   text || ' graft_refresh_marker graft_refresh_marker' FROM documents
+        |   WHERE lang = 'de'
+        | UNION ALL SELECT doc_id + 1000000,
+        |   'graft_inserted_marker ' || text FROM documents
+        |   WHERE lang = 'es'""".stripMargin),
     // q100 = the identical post-DML corpus and query, driven via SQL
     "q100_sql_search" -> bm25OracleSql(
       Seq("data", "graft_inserted_marker", "graft_refresh_marker"), 20,

@@ -1,6 +1,6 @@
 package graft.query
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analysis.CodeTokenizer
@@ -106,6 +106,14 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
     val ts = tombstones
     if (ts.isEmpty) _ => false else ts.contains(_)
   }
+
+  /** Compose a skip predicate with a per-query ALLOW set (filtered search):
+    * a doc outside the allow-set is treated exactly like a dead doc —
+    * skipping a candidate only lowers theta and block-max bounds stay
+    * valid upper bounds, so WAND remains exact under any filter. */
+  private def withAllow(dead: Long => Boolean,
+      allow: java.util.HashSet[java.lang.Long]): Long => Boolean =
+    if (allow == null) dead else d => dead(d) || !allow.contains(d)
 
   /** Per-term df of DEAD docs (recorded by TableIndexer alongside the
     * tombstones): df_live = df_stored - delta, so idf — and therefore
@@ -381,8 +389,43 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
   def searchTAAT(query: String, k: Int): Array[ScoredDoc] =
     scoreAll(query).orderBy($"score".desc, $"docId".asc).limit(k).collect()
 
-  /** Exact top-k via sharded Block-Max WAND. */
-  def searchWAND(query: String, k: Int): Array[ScoredDoc] = {
+  /** Exact top-k restricted to an allow-set of documents — attribute-
+    * filtered search, Lucene's FilteredQuery role. `allowedDocs` is any
+    * DataFrame whose FIRST column holds the allowed docIds. Scores are
+    * UNCHANGED by the filter (idf/df/N/avgdl stay those of the whole live
+    * index; the filter only restricts which docs may appear in the
+    * result) — the semantics that keep scores comparable across filters.
+    *
+    * Serving: a selective filter (≤ [[Searcher.FilterGatherMaxDocs]]
+    * matches, probed with a LIMIT so the job is bounded) is gathered once
+    * and folded into the dead-doc predicate of the normal WAND serving
+    * paths; a broader filter falls back to the TAAT shape — [[scoreAll]]
+    * semi-joined to the filter, fully distributed, no driver-side set.
+    * Both paths are exact and return the identical ranking (FilterSpec). */
+  def searchWhere(query: String, k: Int, allowedDocs: DataFrame,
+      gatherMax: Int = Searcher.FilterGatherMaxDocs): Array[ScoredDoc] = {
+    val idCol = allowedDocs.columns.head
+    val max = gatherMax
+    val ids = allowedDocs.select(col(idCol).cast("long"))
+      .limit(max + 1).as[Long].collect()
+    if (ids.length <= max) {
+      val allow =
+        new java.util.HashSet[java.lang.Long](math.max(16, ids.length * 2))
+      ids.foreach(d => allow.add(d))
+      searchWAND(query, k, allow)
+    } else {
+      scoreAll(query)
+        .join(allowedDocs.select(col(idCol).cast("long").as("docId"))
+          .distinct(), Seq("docId"), "left_semi")
+        .as[ScoredDoc]
+        .orderBy($"score".desc, $"docId".asc).limit(k).collect()
+    }
+  }
+
+  /** Exact top-k via sharded Block-Max WAND. `allow` (optional): filtered
+    * search — only docIds in the set may surface ([[searchWhere]]). */
+  def searchWAND(query: String, k: Int,
+      allow: java.util.HashSet[java.lang.Long] = null): Array[ScoredDoc] = {
     val terms = queryTerms(query)
     if (terms.isEmpty) return Array.empty
     val lex = lexLive(terms)
@@ -415,7 +458,7 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
       // hot-loop locals: plain array + captured predicate, no lazy-val
       // accessor (volatile read) per posting
       val norms = normsLocalArr
-      val dead = deadFn()
+      val dead = withAllow(deadFn(), allow)
       val all = perShard.valuesIterator.flatMap { byTerm =>
         WandShard.topK(byTerm.toMap, idxOf, weights, termUB,
           d => norms(d.toInt), k1, b, avgDl, k, ubScale,
@@ -436,7 +479,7 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
         stats.numDocs <= BroadcastNormsMaxDocs) {
       val blks = blocksFor(idxOf.keys.toArray).collect()
       val norms = normsLocalArr
-      val dead = deadFn()
+      val dead = withAllow(deadFn(), allow)
       val all = blks.groupBy(_.shard).valuesIterator.flatMap { shardBlks =>
         WandShard.topK(shardBlks.groupBy(_.termId), idxOf, weights, termUB,
           d => norms(d.toInt), k1, b, avgDl, k, ubScale,
@@ -450,6 +493,17 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
     val ubB = spark.sparkContext.broadcast(termUB)
     val scaleB = spark.sparkContext.broadcast(ubScale)
     val tsB = tombstonesBroadcast
+    // allow-set for the distributed paths (null = unfiltered; the set is
+    // gather-bounded by searchWhere, so the broadcast is too)
+    val alB = if (allow == null) null
+      else spark.sparkContext.broadcast(allow)
+    def composeDead(ts: java.util.HashSet[java.lang.Long])
+        : Long => Boolean = {
+      val dead0: Long => Boolean =
+        if (ts.isEmpty) _ => false else ts.contains(_)
+      if (alB == null) dead0
+      else { val al = alB.value; d => dead0(d) || !al.contains(d) }
+    }
     val kk = k
 
     // group blocks by their STORED shard (an index property frozen at write
@@ -466,9 +520,7 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
           val byTerm = blkIt.toArray.groupBy(_.termId)
           if (byTerm.isEmpty) Iterator.empty
           else {
-            val ts = tsB.value
-            val dead: Long => Boolean =
-              if (ts.isEmpty) _ => false else ts.contains(_)
+            val dead = composeDead(tsB.value)
             val norms = nb.value
             WandShard.topK(byTerm, idxB.value, wB.value, ubB.value,
               d => norms(d.toInt), k1, b, avgDl, kk, scaleB.value,
@@ -486,9 +538,7 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
           val byTerm = blkIt.toArray.groupBy(_.termId)
           if (byTerm.isEmpty) Iterator.empty
           else {
-            val ts = tsB.value
-            val dead: Long => Boolean =
-              if (ts.isEmpty) _ => false else ts.contains(_)
+            val dead = composeDead(tsB.value)
             WandShard.topK(byTerm, idxB.value, wB.value, ubB.value,
               d => dlMap.get(d), k1, b, avgDl, kk, scaleB.value,
               dead).iterator
@@ -673,6 +723,13 @@ object Searcher {
     * snapshot) — the Lucene merge-policy contract for reclaiming
     * deletes, surfaced as an explicit limit instead of silent slowdown. */
   val TombstonesMaxDocs: Long = 50000000L
+
+  /** Gather bound for a filtered search's allow-set ([[Searcher!.searchWhere]]):
+    * filters matching at most this many docs serve through WAND with a
+    * driver-resident set (~8 B/id ⇒ ≤ ~32 MB + hash overhead); broader
+    * filters run the distributed TAAT + semi-join path instead — the
+    * filter never creates unbounded driver state. */
+  val FilterGatherMaxDocs: Int = 4000000
 }
 
 /** Sequential WAND over one docId shard (runs inside one task). */

@@ -832,6 +832,27 @@ object TpchQueries {
       sqlDoor.exec("SELECT * FROM t ORDER BY o_orderkey")
     }),
 
+    // --- metadata-only aggregates (Iceberg's metadata scan; the stats
+    //     role of the reference's table-level block metadata): after DML
+    //     reshapes the table, COUNT/MIN/MAX over exact-typed columns are
+    //     served from MANIFEST file stats — zero data-file opens, zero
+    //     Spark scan (plan pinned in GraftSqlSpec). At 100 TB this is the
+    //     difference between a free answer and a full-table scan.
+    "q103_stats_agg" -> ((s, d) => {
+      val ops = freshTable(s, d, "q103")
+      val sqlDoor = new graft.sources.GraftSql(s, ops)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .createOrReplaceTempView("orders_q103")
+      sqlDoor.exec("CREATE TABLE t AS SELECT * FROM orders_q103")
+      sqlDoor.exec("DELETE FROM t WHERE o_orderkey % 7 = 0")
+      sqlDoor.exec("INSERT INTO t SELECT o_orderkey + 10000000, " +
+        "o_custkey, o_totalprice FROM orders_q103 WHERE o_orderkey % 11 = 0")
+      sqlDoor.exec("SELECT count(*) AS n, min(o_orderkey) AS min_key, " +
+        "max(o_orderkey) AS max_key, min(o_custkey) AS min_cust, " +
+        "max(o_custkey) AS max_cust FROM t")
+    }),
+
     // --- stored SQL function (reference PL/pgSQL CREATE FUNCTION —
     //     embryonic there, README.md:29 / udf_test.cpp; here: Spark's
     //     native SQL-UDF form persisted in the table store). The session
@@ -1409,6 +1430,15 @@ object TpchQueries {
         |SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd
         |WHERE o_totalprice <= 300000.0
         |ORDER BY o_orderkey""".stripMargin,
+    "q103_stats_agg" ->
+      """WITH post AS (
+        |  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey FROM orders
+        |  WHERE o_orderkey % 11 = 0)
+        |SELECT count(*) AS n, min(o_orderkey) AS min_key,
+        |  max(o_orderkey) AS max_key, min(o_custkey) AS min_cust,
+        |  max(o_custkey) AS max_cust FROM post""".stripMargin,
     "q93_tpcc" ->
       """WITH txn AS (
         |  SELECT o_orderkey,

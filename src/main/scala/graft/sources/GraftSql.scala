@@ -34,8 +34,10 @@ import org.apache.spark.sql.functions._
   *   CREATE [OR REPLACE] TRIGGER tr AFTER INSERT|UPDATE|DELETE ON t
   *     EXECUTE <statement>
   *   DROP TRIGGER tr
-  *   CREATE SEARCH INDEX idx ON t   | DROP SEARCH INDEX idx
+  *   CREATE SEARCH INDEX idx ON t [WITH POSITIONS] | DROP SEARCH INDEX idx
   *   REFRESH SEARCH INDEX idx       | SEARCH idx 'text' [TOP k]
+  *   SEARCH idx PHRASE 'text' [TOP k]   (needs WITH POSITIONS)
+  *   SEARCH idx 'text' WHERE <pred> [TOP k]   (attribute-filtered)
   *   BEGIN | COMMIT | ROLLBACK
   *   <select>  (managed tables referenced by name resolve to their
   *              current snapshot; inside a transaction, to its
@@ -106,13 +108,17 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
       """(INSERT|UPDATE|DELETE)\s+ON\s+(\w+)\s+EXECUTE\s+(.*)$""").r
   private val DropTrigger = """(?is)^\s*DROP\s+TRIGGER\s+(\w+)\s*$""".r
   private val CreateSearchIndex =
-    """(?is)^\s*CREATE\s+SEARCH\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*$""".r
+    """(?is)^\s*CREATE\s+SEARCH\s+INDEX\s+(\w+)\s+ON\s+(\w+)(\s+WITH\s+POSITIONS)?\s*$""".r
   private val DropSearchIndex =
     """(?is)^\s*DROP\s+SEARCH\s+INDEX\s+(\w+)\s*$""".r
   private val RefreshSearchIndex =
     """(?is)^\s*REFRESH\s+SEARCH\s+INDEX\s+(\w+)\s*$""".r
   private val Search =
     """(?is)^\s*SEARCH\s+(\w+)\s+'([^']*)'(?:\s+TOP\s+(\d+))?\s*$""".r
+  private val SearchPhrase =
+    """(?is)^\s*SEARCH\s+(\w+)\s+PHRASE\s+'([^']*)'(?:\s+TOP\s+(\d+))?\s*$""".r
+  private val SearchWhere =
+    """(?is)^\s*SEARCH\s+(\w+)\s+'([^']*)'\s+WHERE\s+(.+?)(?:\s+TOP\s+(\d+))?\s*$""".r
   private val Begin = """(?is)^\s*BEGIN\s*$""".r
   private val Commit = """(?is)^\s*COMMIT\s*$""".r
   private val Rollback = """(?is)^\s*ROLLBACK\s*$""".r
@@ -217,10 +223,10 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
     case DropTrigger(name) =>
       ops.dropTrigger(name); ack("DROP TRIGGER", name, -1L)
 
-    case CreateSearchIndex(name, table) =>
+    case CreateSearchIndex(name, table, positions) =>
       noTx("CREATE SEARCH INDEX")
       val dir = ops.createSearchIndex(name, table)
-      indexerFor(name, dir).create(table)
+      indexerFor(name, dir).create(table, positions = positions != null)
       ack("CREATE SEARCH INDEX", name, -1L)
     case DropSearchIndex(name) =>
       searchers.remove(name).foreach(_._2.close())
@@ -232,10 +238,58 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
       val (table, dir) = ops.searchIndexMeta(name)
       indexerFor(name, dir).refresh(table)
       ack("REFRESH SEARCH INDEX", name, -1L)
+    case SearchPhrase(name, text, k) => // before Search: both begin SEARCH
+      searchPhrase(name, text, if (k == null) 10 else k.toInt)
+    case SearchWhere(name, text, pred, k) =>
+      searchWhere(name, text, pred, if (k == null) 10 else k.toInt)
     case Search(name, text, k) =>
       search(name, text, if (k == null) 10 else k.toInt)
 
-    case select => runSelect(select)
+    case select =>
+      statsOnlyAgg(select).getOrElse(runSelect(select))
+  }
+
+  // --- metadata-only aggregates -------------------------------------------
+  // `SELECT count(*) / min(c) / max(c) FROM t` (no WHERE/GROUP BY) over a
+  // managed table is answered from MANIFEST stats alone — zero Spark scan,
+  // zero file opens (Iceberg's metadata-only scan; Spark's own parquet
+  // aggregate pushdown still opens every footer). Strictly exact or
+  // declined: count needs per-file row counts on every file; min/max needs
+  // exact-typed bounds (integers/decimals) — anything else, any
+  // schema-evolution fill, or an open transaction falls through to the
+  // normal scan path. The served plan is a LocalRelation (GraftSqlSpec
+  // pins: no FileSourceScan in the executed plan, values == scan twin).
+  private val AggOverTable =
+    """(?is)^\s*SELECT\s+(.+?)\s+FROM\s+(\w+)\s*$""".r
+  private val CountItem =
+    """(?i)^COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+(\w+))?$""".r
+  private val MinMaxItem =
+    """(?i)^(MIN|MAX)\s*\(\s*(\w+)\s*\)(?:\s+AS\s+(\w+))?$""".r
+
+  private def statsOnlyAgg(select: String): Option[DataFrame] = {
+    if (active.isDefined) return None // read-your-writes state isn't on disk
+    val (items, table) = select match {
+      case AggOverTable(list, t) if ops.listTables().contains(t) =>
+        (splitTopLevel(list), t)
+      case _ => return None
+    }
+    if (items.isEmpty) return None
+    val exprs = items.map {
+      case CountItem(alias) =>
+        val n = ops.rowCountFromStats(table).getOrElse(return None)
+        s"CAST($n AS BIGINT) AS ${if (alias != null) alias else "`count(1)`"}"
+      case MinMaxItem(fn, col, alias) =>
+        val (mn, mx, typ) = ops.minMaxFromStats(table, col)
+          .getOrElse(return None)
+        val bound = if (fn.equalsIgnoreCase("MIN")) mn else mx
+        val v = bound.map(b => s"CAST('$b' AS $typ)")
+          .getOrElse(s"CAST(NULL AS $typ)")
+        val name = if (alias != null) alias
+          else s"`${fn.toLowerCase}($col)`"
+        s"$v AS $name"
+      case _ => return None
+    }
+    Some(spark.sql(s"SELECT ${exprs.mkString(", ")}"))
   }
 
   private def ack(stmt: String, table: String, version: Long): DataFrame = {
@@ -313,7 +367,42 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
     * (repo, path, commit, score), score DESC then index docId ASC (the
     * engine-wide tie-break). */
   def search(name: String, query: String, k: Int): DataFrame = {
-    val (table, dir) = ops.searchIndexMeta(name)
+    val (_, searcher) = searcherFor(name)
+    serveTop(name, searcher.searchWAND(query, k), k)
+  }
+
+  /** `SEARCH idx PHRASE 'text' TOP k`: exact-phrase BM25 through the
+    * maintained positional sidecar ([[graft.query.Searcher.searchPhrase]]
+    * — the phrase scores as one synthetic term); same output shape and
+    * tie-break as [[search]]. Requires the index to have been created
+    * WITH POSITIONS. */
+  def searchPhrase(name: String, query: String, k: Int): DataFrame = {
+    val (_, searcher) = searcherFor(name)
+    serveTop(name, searcher.searchPhrase(query, k), k)
+  }
+
+  /** `SEARCH idx 'text' WHERE <pred> TOP k`: attribute-filtered BM25 —
+    * `pred` is any Spark SQL boolean expression over the indexed TABLE's
+    * columns, evaluated on the current snapshot (== the synced snapshot:
+    * DML refreshes synchronously) and keyed back to docIds through the
+    * index's docs table. Scores are those of the UNFILTERED index
+    * (Lucene FilteredQuery semantics — comparable across filters); only
+    * membership is restricted ([[graft.query.Searcher.searchWhere]]). */
+  def searchWhere(name: String, query: String, pred: String,
+      k: Int): DataFrame = {
+    val (ti, searcher) = searcherFor(name)
+    val (table, _) = ops.searchIndexMeta(name)
+    val allowed = ops.read(table).filter(pred)
+      .select(col("repo"), col("path"), col("commit"))
+      .join(spark.read.parquet(ti.cfg.docsPath),
+        Seq("repo", "path", "commit"))
+      .select(col("docId"))
+    serveTop(name, searcher.searchWhere(query, k, allowed), k)
+  }
+
+  private def searcherFor(name: String)
+      : (graft.index.TableIndexer, graft.query.Searcher) = {
+    val (_, dir) = ops.searchIndexMeta(name)
     val ti = indexerFor(name, dir)
     val synced = ti.syncedVersion
     val searcher = searchers.get(name) match {
@@ -324,9 +413,15 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
         searchers(name) = (synced, s0)
         s0
     }
+    (ti, searcher)
+  }
+
+  private def serveTop(name: String,
+      top: Array[graft.model.ScoredDoc], k: Int): DataFrame = {
+    val (_, dir) = ops.searchIndexMeta(name)
+    val ti = indexerFor(name, dir)
     val sp = spark
     import sp.implicits._
-    val top = searcher.searchWAND(query, k)
     val scored = sp.createDataset(top.toSeq).toDF()
     val rows = scored
       .join(sp.read.parquet(ti.cfg.docsPath)

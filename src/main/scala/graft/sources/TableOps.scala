@@ -470,6 +470,59 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
     else Some(perFile.flatten.map(_.rows).sum)
   }
 
+  private def isExactStatsType(typ: String): Boolean =
+    Set("tinyint", "smallint", "int", "bigint").contains(typ) ||
+      typ.startsWith("decimal")
+
+  /** Exact MIN/MAX of an integer/decimal column from MANIFEST stats alone
+    * (no Spark job, no file opens — the Iceberg metadata-only scan,
+    * [[graft.sources.GraftSql]] serves `SELECT min(c) FROM t` with it).
+    * Restricted to types whose canonical stats encodings are exact
+    * attained values: integers and decimals (string bounds are truncated,
+    * float/double bounds are dropped at write time for NaN safety — both
+    * fall through to a scan). Returns
+    *   - None — unanswerable from metadata: missing/ineligible stats, or a
+    *     schema-evolution fill covers the column (the constant default is
+    *     not in file stats);
+    *   - Some((None, None, typ)) — every row is NULL (SQL MIN/MAX = NULL);
+    *   - Some((Some(min), Some(max), typ)) — canonical bounds + the Spark
+    *     type to cast them back to. */
+  def minMaxFromStats(table: String, column: String)
+      : Option[(Option[String], Option[String], String)] = {
+    val m = readManifest(table, currentVersion(table))
+    if (!m.columns.contains(column)) return None
+    var mn: java.math.BigDecimal = null
+    var mx: java.math.BigDecimal = null
+    var mnS: String = null
+    var mxS: String = null
+    var typ: String = null
+    for (g <- m.groups) {
+      if (g.fills.contains(column)) return None
+      for (p <- g.paths) {
+        val fs = g.stats.getOrElse(p, return None)
+        // a zero-row file (e.g. a mutation rewrote every row away)
+        // contributes nothing — its stats carry no column entries at all
+        if (fs.rows > 0) {
+          val cs = fs.cols.getOrElse(column, return None)
+          if (!isExactStatsType(cs.typ)) return None
+          typ = cs.typ
+          if (cs.nulls < fs.rows) { // an all-NULL file contributes nothing
+            (cs.min, cs.max) match {
+              case (Some(a), Some(b)) =>
+                val ba = new java.math.BigDecimal(a)
+                val bb = new java.math.BigDecimal(b)
+                if (mn == null || ba.compareTo(mn) < 0) { mn = ba; mnS = a }
+                if (mx == null || bb.compareTo(mx) > 0) { mx = bb; mxS = b }
+              case _ => return None // a populated file without bounds
+            }
+          }
+        }
+      }
+    }
+    if (typ == null) None // no file carries the column (empty table)
+    else Some((Option(mnS), Option(mxS), typ))
+  }
+
   /** Relative data-file paths of version `v`, manifest order — the
     * file-granularity commit diff surface: copy-on-write means the set
     * difference between two versions' file lists IS the change set

@@ -216,4 +216,111 @@ class GraftSqlSpec extends AnyFunSuite {
     sql.exec("DROP SEARCH INDEX dix")
     intercept[IllegalArgumentException](sql.exec("SEARCH dix 'x' TOP 5"))
   }
+
+  test("metadata-only aggregates: stats-served plan, scan-twin values, " +
+      "honest fallthrough") {
+    val sql = fresh("statsagg")
+    Seq((5L, Some(10L), 1.5), (2L, None, 2.5), (9L, Some(3L), 3.5))
+      .toDF("id", "opt", "x").createOrReplaceTempView("seed_sagg")
+    sql.exec("CREATE TABLE t AS SELECT * FROM seed_sagg")
+    sql.exec("INSERT INTO t VALUES (40, NULL, 4.5), (1, 7, 5.5)")
+    sql.exec("DELETE FROM t WHERE id = 9")
+
+    // pin on the optimized LOGICAL plan (AQE wraps the physical plan in an
+    // AdaptiveSparkPlanExec leaf, hiding FileSourceScanExec from collect):
+    // a stats-served answer has NO file relation at all
+    def hasScan(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectWithSubqueries {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      }.nonEmpty
+
+    val stmt = "SELECT count(*) AS n, min(id) AS mn, max(id) AS mx, " +
+      "min(opt) AS mno, max(opt) AS mxo FROM t"
+    val fast = sql.exec(stmt)
+    assert(!hasScan(fast), "metadata aggregate still scanned files")
+    // the scan twin: same statement over a subquery (declined — not a bare
+    // managed-table aggregate), must produce identical values
+    val slow = sql.exec(stmt.replace("FROM t", "FROM (SELECT * FROM t) z"))
+    assert(hasScan(slow))
+    assert(fast.collect().toSeq == slow.collect().toSeq)
+
+    // double bounds are dropped at write time (NaN safety) — min(x) falls
+    // through to a real scan and still answers
+    val dbl = sql.exec("SELECT min(x) AS mnx FROM t")
+    assert(hasScan(dbl))
+    assert(dbl.as[Double].head() == 1.5)
+    // WHERE / expressions / unknown aggregates decline too
+    assert(hasScan(sql.exec("SELECT count(*) AS n FROM t WHERE id > 2")))
+    assert(hasScan(sql.exec("SELECT sum(id) AS s FROM t")))
+
+    // an all-NULL column serves NULL from stats
+    sql.exec("UPDATE t SET opt = NULL WHERE id >= 0")
+    val nulls = sql.exec("SELECT min(opt) AS mno, count(*) AS n FROM t")
+    assert(!hasScan(nulls))
+    val r = nulls.head()
+    assert(r.isNullAt(0) && r.getLong(1) == 4L)
+
+    // schema evolution: a pending fill declines min/max but count serves
+    sql.exec("ALTER TABLE t ADD COLUMN extra DEFAULT cast(99 as bigint)")
+    assert(hasScan(sql.exec("SELECT min(extra) AS me FROM t")))
+    assert(!hasScan(sql.exec("SELECT count(*) AS n FROM t")))
+    // default Spark-style names when no alias is given
+    assert(sql.exec("SELECT count(*) FROM t").columns.toSeq == Seq("count(1)"))
+  }
+
+  test("SEARCH ... WHERE filters by table attributes; scores unchanged") {
+    val sql = fresh("fidx")
+    val docs = (0 until 60).map(i => graft.corpus.CorpusGen.genFile(i.toLong, 13L))
+    docs.toDF().createOrReplaceTempView("seed_fidx")
+    sql.exec("CREATE TABLE docs AS SELECT * FROM seed_fidx")
+    sql.exec("CREATE SEARCH INDEX fix ON docs")
+    sql.exec("INSERT INTO docs VALUES " +
+      "('zz/r','fa','c1','scala','ww_term common')," +
+      "('zz/r','fb','c2','java','ww_term common common')")
+
+    val all = sql.exec("SEARCH fix 'ww_term' TOP 5")
+      .select("path", "score").as[(String, Double)].collect().toMap
+    assert(all.keySet == Set("fa", "fb"))
+    val filt = sql.exec("SEARCH fix 'ww_term' WHERE lang = 'java' TOP 5")
+      .select("path", "score").as[(String, Double)].collect()
+    assert(filt.map(_._1).toSeq == Seq("fb"))
+    // FilteredQuery semantics: the score equals the unfiltered search's
+    assert(filt.head._2 == all("fb"))
+    // predicate over any table column, matching nothing
+    assert(sql.exec("SEARCH fix 'ww_term' WHERE lang = 'go' TOP 5")
+      .collect().isEmpty)
+    // the filter sees the CURRENT snapshot: after DML moves a doc out of
+    // the slice, the filtered search follows
+    sql.exec("UPDATE docs SET lang = 'scala' WHERE path = 'fb'")
+    assert(sql.exec("SEARCH fix 'ww_term' WHERE lang = 'java' TOP 5")
+      .collect().isEmpty)
+  }
+
+  test("WITH POSITIONS: SEARCH PHRASE is maintained through DML") {
+    val sql = fresh("pidx")
+    val docs = (0 until 80).map(i => graft.corpus.CorpusGen.genFile(i.toLong, 11L))
+    docs.toDF().createOrReplaceTempView("seed_pidx")
+    sql.exec("CREATE TABLE docs AS SELECT * FROM seed_pidx")
+    sql.exec("CREATE SEARCH INDEX pix ON docs WITH POSITIONS")
+
+    // exact adjacency, not bag-of-words: a doc holding both terms apart
+    // must NOT match the phrase
+    sql.exec("INSERT INTO docs VALUES " +
+      "('zz/r', 'adj', 'c1', 'scala', 'qq_alpha qq_beta tail tail')," +
+      "('zz/r', 'apart', 'c2', 'scala', 'qq_alpha tail tail qq_beta')")
+    val hit = sql.exec("SEARCH pix PHRASE 'qq_alpha qq_beta' TOP 5")
+    assert(hit.select("path").as[String].collect().toSeq == Seq("adj"))
+
+    // UPDATE re-registers the phrase on another doc; DELETE kills it
+    sql.exec("UPDATE docs SET content = 'qq_alpha qq_beta moved' " +
+      "WHERE path = 'apart'")
+    assert(sql.exec("SEARCH pix PHRASE 'qq_alpha qq_beta' TOP 5")
+      .select("path").as[String].collect().toSet == Set("adj", "apart"))
+    sql.exec("DELETE FROM docs WHERE path = 'adj'")
+    assert(sql.exec("SEARCH pix PHRASE 'qq_alpha qq_beta' TOP 5")
+      .select("path").as[String].collect().toSeq == Seq("apart"))
+
+    // the bag-of-words SEARCH stays served by the same maintained index
+    assert(sql.exec("SEARCH pix 'qq_alpha' TOP 5").collect().nonEmpty)
+  }
 }
