@@ -44,6 +44,11 @@ object IndexQueries {
     * DROPPED, not accumulated (ADVICE r4: the old fingerprint-composed key
     * leaked one entry per regeneration and — for searchers — a whole
     * localServe postings/norms state with it). */
+  /** Fresh checkpoint dir per q105 streaming run (a replay must re-deliver
+    * every batch — idempotence lives in the TABLE manifest, not in Spark's
+    * checkpoint). */
+  private val ckpt = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private case class CachedIndex(key: String, cfg: IndexConfig)
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, CachedIndex]()
@@ -374,6 +379,55 @@ object IndexQueries {
       s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), out.schema)
     }),
 
+    // --- LIVE streaming search (the Lucene near-real-time/soft-commit
+    //     role with hard exactly-once semantics): documents stream into a
+    //     managed table via idempotent per-batch commits and the search
+    //     index refreshes INSIDE the same foreachBatch — a doc is
+    //     searchable the moment its micro-batch commits. A full stream
+    //     replay is a no-op twice over (the manifest ingest watermark
+    //     skips the insert; the refresh sees an unchanged version). The
+    //     oracle recomputes BM25 over the full corpus in SQL, so every
+    //     streamed segment's postings are value-checked.
+    "q105_stream_search" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft-ssrch-" +
+        d.replaceAll("[^a-zA-Z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val corpus = corpusFromDocuments(s, d).toDF()
+      // stage the stream source once: 3 part files -> 3 micro-batches
+      corpus.filter(col("path").cast("long") % 4 =!= 0)
+        .repartition(3).write.mode("overwrite").parquet(s"$root/in")
+      val ops = new graft.sources.TableOps(s, root)
+      ops.create("docs", corpus.filter(col("path").cast("long") % 4 === 0)
+        .repartition(4, col("path")))
+      val tCfg = IndexConfig(indexDir = s"$root/__idx", numShards = 8,
+        heavyDfThreshold = 1000, buildPartitions = 8)
+      val ti = new graft.index.TableIndexer(s, ops, tCfg)
+      ti.create("docs")
+      def run(): Unit = {
+        val q = s.readStream.schema(corpus.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+          .writeStream
+          .foreachBatch {
+            (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+              ops.insertIdempotent("docs", batch, "docstream", batchId)
+              ti.refresh("docs")
+              ()
+          }
+          .option("checkpointLocation", s"$root/chk${ckpt.incrementAndGet()}")
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+      }
+      run()
+      run() // full replay with a FRESH checkpoint: every batch re-delivered
+            // and skipped by the manifest watermark; the index is unchanged
+      val searcher = new Searcher(s, tCfg)
+      val out = adaptiveTopDf(s, tCfg, 20)(f => searcher.searchWAND("hash join", f))
+      val rows = out.collect()
+      searcher.close()
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), out.schema)
+    }),
+
     // --- the SAME maintained-index lifecycle driven purely through SQL
     //     statements (CREATE SEARCH INDEX + auto-refresh on each DML
     //     commit + SEARCH — the reference's CREATE INDEX DDL and in-DML
@@ -461,6 +515,10 @@ object IndexQueries {
     // exactly the filtered-search semantics
     "q104_filtered_search" -> bm25OracleSql(Seq("hash", "join"), 20,
       allowSql = "SELECT doc_id FROM documents WHERE lang = 'es'"),
+    // the streamed-in index must equal a from-scratch build of the whole
+    // corpus — same oracle as q50, reached through seed + 3 appended
+    // micro-batch segments + a full replay
+    "q105_stream_search" -> bm25OracleSql(Seq("hash", "join"), 20),
     // phrase BM25 over the post-DML corpus rebuilt from scratch in SQL —
     // what the incrementally-maintained positional sidecar must equal
     "q102_phrase_maintained" -> phraseOracleSql(Seq("table", "hash"), 20,

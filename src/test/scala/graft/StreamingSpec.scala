@@ -110,4 +110,78 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("live search: a streamed doc is searchable the moment its batch " +
+      "commits; replay leaves the index unchanged") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.model.SourceFile
+    val root = TestSpark.tmpDir("graft-livesearch")
+    val ops = new graft.sources.TableOps(spark, root)
+    ops.create("docs", graft.corpus.CorpusGen.generate(spark, 60L).toDF()
+      .repartition(2, col("path")))
+    val cfg = graft.index.IndexConfig(indexDir = s"$root/__idx",
+      numShards = 2, buildPartitions = 4, heavyDfThreshold = 500)
+    val ti = new graft.index.TableIndexer(spark, ops, cfg)
+    ti.create("docs")
+    // 3 one-doc files, each carrying a batch-unique marker term
+    val batches = Seq("lv_alpha", "lv_beta", "lv_gamma")
+    batches.zipWithIndex.foreach { case (m, i) =>
+      Seq(SourceFile("zz", s"live$i", "c", "t", s"$m streamed content"))
+        .toDS().toDF().coalesce(1)
+        .write.mode("append").parquet(s"$root/in")
+    }
+    // inside each batch: after the idempotent insert + refresh, the
+    // batch's marker must already be found (NRT visibility), with every
+    // PREVIOUS batch's marker still present
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[String])]
+    def run(chk: String): Unit = {
+      val q = spark.readStream.schema(ops.read("docs").schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              batchId: Long) =>
+            ops.insertIdempotent("docs", batch, "live", batchId)
+            ti.refresh("docs")
+            val s = new graft.query.Searcher(spark, cfg)
+            val found = batches.filter(m => s.searchWAND(m, 5).nonEmpty).toSet
+            s.close()
+            seen += ((batchId, found))
+            ()
+        }
+        .option("checkpointLocation", s"$root/$chk")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    run("chk1")
+    assert(seen.size == 3)
+    // markers accumulate batch by batch — each visible in its own batch
+    val ordered = seen.sortBy(_._1).map(_._2)
+    assert(ordered.map(_.size) == Seq(1, 2, 3),
+      s"NRT visibility broken: $seen")
+    assert(ordered.last == batches.toSet)
+    val v1 = ops.currentVersion("docs")
+    seen.clear()
+    run("chk2") // fresh checkpoint: full replay, all batches skipped
+    assert(ops.currentVersion("docs") == v1, "replayed batch re-inserted")
+    assert(seen.forall(_._2 == batches.toSet))
+    // and the final index equals a from-scratch build of the table
+    val c2 = graft.index.IndexConfig(indexDir = TestSpark.tmpDir("graft-lsref"),
+      numShards = 2, buildPartitions = 4, heavyDfThreshold = 500)
+    graft.index.IndexBuilder.build(spark,
+      ops.read("docs").select($"repo", $"path", $"commit", $"lang", $"content")
+        .as[SourceFile], c2, "live-ref")
+    val sM = new graft.query.Searcher(spark, cfg)
+    val sR = new graft.query.Searcher(spark, c2)
+    def keyed(c: graft.index.IndexConfig, top: Array[graft.model.ScoredDoc]) = {
+      val keys = spark.read.parquet(c.docsPath)
+        .select($"docId", $"path").as[(Long, String)].collect().toMap
+      top.map(sd => keys(sd.docId) -> sd.score).toMap
+    }
+    Seq("lv_alpha", "streamed content", "if return").foreach { q =>
+      assert(keyed(cfg, sM.searchWAND(q, 100)) == keyed(c2, sR.searchWAND(q, 100)),
+        s"streamed index != rebuild for '$q'")
+    }
+    sM.close(); sR.close()
+  }
 }
