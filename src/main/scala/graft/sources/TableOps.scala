@@ -304,10 +304,21 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
       bc.foreach(c => w = w.option(s"parquet.bloom.filter.enabled#$c", "true"))
     }
     w.parquet(dir)
-    val files = io.list(dir).filter(_.endsWith(".parquet")).sorted
+    val all = io.list(dir).filter(_.endsWith(".parquet")).sorted
       .map(name => s"$sub/$name")
-    if (files.isEmpty) (files, Map.empty, None)
-    else (files, collectStats(dir, sub), Some(df.schema.json))
+    if (all.isEmpty) return (all, Map.empty, None)
+    val st = collectStats(dir, sub)
+    // Zero-row part files (a shuffle partition that matched nothing —
+    // common under full-file rewrites and range-clustered writes) are
+    // DROPPED from the commit: at scale, repeated DML would otherwise
+    // accumulate empty files that every future scan, mutation plan, and
+    // stats read must open. A fully-empty write keeps ONE empty file so
+    // the empty-table state stays representable (readVersion requires at
+    // least one data file per group).
+    val (nonzero, _) = all.partition(p => st.get(p).exists(_.rows > 0))
+    val files = if (nonzero.nonEmpty) nonzero else all.take(1)
+    (all diff files).foreach(p => io.deleteIfExists(s"$root/$table/$p"))
+    (files, st.filter(kv => files.contains(kv._1)), Some(df.schema.json))
   }
 
   /** Per-file min/max/null-count for every stats-eligible column of a
@@ -780,7 +791,13 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
   private def applyInsert(table: String, next: Long, m: VersionManifest,
       rows: DataFrame): VersionManifest = {
     val (files, st, sch) = writeData(table, next, conform(table, m, rows), bloomColsOf(m))
-    m.copy(groups = m.groups :+ Group(files, ListMap.empty, st, sch))
+    val hasRows = files.exists(p => st.get(p).exists(_.rows > 0))
+    if (!hasRows && m.groups.nonEmpty) {
+      // inserting zero rows (e.g. an empty streaming batch) must not grow
+      // the manifest — the commit still happens, with unchanged content
+      files.foreach(p => io.deleteIfExists(s"$root/$table/$p"))
+      m
+    } else m.copy(groups = m.groups :+ Group(files, ListMap.empty, st, sch))
   }
 
   /** Observability for plan pins (specs assert metadata pruning fired):
@@ -903,7 +920,17 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
         val rewritten =
           conform(table, m, rewrite(hitDfs.reduce(_.unionByName(_))))
         val (files, st, sch) = writeData(table, next, rewritten, bloomColsOf(m))
-        if (files.nonEmpty) kept :+ Group(files, ListMap.empty, st, sch) else kept
+        val hasRows = files.exists(p => st.get(p).exists(_.rows > 0))
+        if (hasRows) kept :+ Group(files, ListMap.empty, st, sch)
+        else if (kept.isEmpty && files.nonEmpty)
+          // a full-table delete: ONE empty file represents the empty state
+          kept :+ Group(files, ListMap.empty, st, sch)
+        else {
+          // the rewrite kept nothing and other files remain — an empty
+          // group would only add a useless file open to every future read
+          files.foreach(p => io.deleteIfExists(s"$root/$table/$p"))
+          kept
+        }
       }
     m.copy(groups = groups)
   }

@@ -739,4 +739,29 @@ class TableOpsSpec extends AnyFunSuite {
     assert(ops.read("t").orderBy("id").as[(Long, Double)].collect().toSeq ==
       Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 9.0), (5L, 5.0)))
   }
+
+  test("zero-row part files never enter the manifest; empty state keeps one") {
+    val ops = new TableOps(spark, TestSpark.tmpDir("graft-zerorow"))
+    // 8 shuffle partitions over 6 rows -> the write produces empty parts
+    ops.create("t", spark.range(6).toDF("id").repartition(8))
+    def fileRows(table: String): Seq[Long] = {
+      val files = ops.read(table).inputFiles.toSeq
+      files.map(f => spark.read.parquet(f).count())
+    }
+    assert(fileRows("t").forall(_ > 0), "create kept a zero-row part file")
+
+    // a DELETE that rewrites a multi-file group down to few rows: every
+    // surviving file is non-empty
+    ops.delete("t", col("id") >= 1L)
+    assert(ops.read("t").as[Long].collect().toSeq == Seq(0L))
+    assert(fileRows("t").forall(_ > 0), "mutation kept a zero-row part file")
+
+    // full delete: the empty state stays representable as ONE empty file
+    ops.delete("t", col("id") >= 0L)
+    assert(ops.read("t").count() == 0)
+    assert(fileRows("t") == Seq(0L))
+    // and the table keeps working after the empty state
+    ops.insert("t", spark.range(3, 5).toDF("id"))
+    assert(ops.read("t").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+  }
 }
