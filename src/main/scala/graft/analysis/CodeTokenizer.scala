@@ -60,6 +60,21 @@ object CodeTokenizer {
   @inline private def keepChar(c: Char, unicode: Boolean): Boolean =
     if (unicode) isUniTokenChar(c) else isTokenChar(c)
 
+  /** Fold a query PREFIX with the index's character rules: lowercased
+    * with the matching mode's fold; valid only when non-empty, at most
+    * MaxLen, and every char is a token char (a separator inside a prefix
+    * could never match any single indexed token). Unlike [[tokenize]]
+    * there is NO minimum length — `a*` is a legal (broad) prefix; the
+    * expansion cap bounds the work, not the prefix length. */
+  def foldPrefix(prefix: String,
+      unicodeFold: Boolean = false): Option[String] = {
+    val s = if (unicodeFold) prefix.toLowerCase(java.util.Locale.ROOT)
+            else prefix.map(toLowerAscii)
+    if (s.nonEmpty && s.length <= MaxLen &&
+        s.forall(keepChar(_, unicodeFold))) Some(s)
+    else None
+  }
+
   /** All kept tokens of `content`, in document order. */
   def tokenize(content: String,
       unicodeFold: Boolean = false): mutable.ArrayBuffer[String] = {

@@ -128,6 +128,37 @@ object IndexQueries {
     adaptiveTopDf(s, cfg, k)(fetch => searcher.searchWhere(query, fetch, allowed))
   }
 
+  /** Prefix (wildcard) BM25 over the documents table: `pre*` scores as
+    * the OR of every lexicon term matching the prefix, each with its own
+    * df/idf ([[graft.query.Searcher.searchPrefix]]); same adaptive
+    * rounded-tie serving discipline as [[bm25]]. */
+  def bm25Prefix(s: SparkSession, dir: String, prefix: String,
+      k: Int): DataFrame = {
+    val cfg = indexFor(s, dir)
+    val searcher = searcherFor(s, dir)
+    adaptiveTopDf(s, cfg, k)(fetch => searcher.searchPrefix(prefix, fetch))
+  }
+
+  /** Facet counts over the FULL match set (every doc containing at least
+    * one query term — not the top-k), grouped by a documents-table
+    * attribute: the search-engine aggregation surface (Lucene faceting;
+    * no reference analogue). Fully distributed: postings-driven match
+    * set, two broadcast-sized joins back to metadata, one shuffle for
+    * the group-by — no driver-side doc set at any scale. */
+  def facetCounts(s: SparkSession, dir: String, query: String,
+      facetCol: String): DataFrame = {
+    val cfg = indexFor(s, dir)
+    val searcher = searcherFor(s, dir)
+    val matches = searcher.scoreAll(query).toDF().select(col("docId"))
+    val docmap = s.read.parquet(cfg.docsPath)
+      .select(col("docId"), col("path").cast("long").as("doc_id"))
+    matches.join(docmap, "docId")
+      .join(s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col(facetCol)), "doc_id")
+      .groupBy(col(facetCol)).agg(count(lit(1)).as("n"))
+      .orderBy(col(facetCol))
+  }
+
   /** The positional sidecar for dir's cached index (idempotent — the
     * manifest `positions` record skips a completed build whose fingerprint
     * matches the current content). */
@@ -237,8 +268,11 @@ object IndexQueries {
     * ALL docs incl. token-less ones — identical to IndexBuilder). */
   def bm25OracleSql(terms: Seq[String], k: Int,
       docsSql: String = "SELECT doc_id, text FROM documents",
-      allowSql: String = ""): String = {
+      allowSql: String = "",
+      termCondSql: String = ""): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
+    val termCond =
+      if (termCondSql.nonEmpty) termCondSql else s"tf.term IN ($inList)"
     val allowWhere =
       if (allowSql.isEmpty) "" else s"WHERE doc_id IN ($allowSql)"
     s"""WITH docs2 AS ($docsSql),
@@ -257,7 +291,7 @@ object IndexQueries {
        |    sum(ln(1.0 + (s.n - df.df + 0.5)/(df.df + 0.5)) * 2.2 * tf.tf /
        |        (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
-       |  WHERE tf.term IN ($inList)
+       |  WHERE $termCond
        |  GROUP BY 1)
        |SELECT doc_id, round(score, 4) AS score FROM scores $allowWhere
        |ORDER BY round(score, 4) DESC, doc_id ASC LIMIT $k""".stripMargin
@@ -277,6 +311,15 @@ object IndexQueries {
     //     scores stay those of the unfiltered index (Lucene FilteredQuery
     //     semantics); the oracle computes full-corpus BM25 then filters
     "q104_filtered_search" -> ((s, d) => bm25Where(s, d, "hash join", "es", 20)),
+    // --- prefix (wildcard) search: 's*' expands against the lexicon
+    //     (range-pruned scan at scale, hard expansion cap) and scores as
+    //     the OR of the expanded terms — Lucene MultiTermQuery semantics;
+    //     the oracle expands the same prefix with LIKE over its own
+    //     tokenization
+    "q107_prefix_search" -> ((s, d) => bm25Prefix(s, d, "s", 20)),
+    // --- facet counts by language over the FULL 'hash join' match set
+    //     (every matching doc, not top-k) — the search-aggregation surface
+    "q108_facet_counts" -> ((s, d) => facetCounts(s, d, "hash join", "lang")),
 
     // --- lexicon (df) vs SQL recomputation: top-50 by df
     "q52_index_lexicon" -> ((s, d) => {
@@ -515,6 +558,20 @@ object IndexQueries {
     // exactly the filtered-search semantics
     "q104_filtered_search" -> bm25OracleSql(Seq("hash", "join"), 20,
       allowSql = "SELECT doc_id FROM documents WHERE lang = 'es'"),
+    "q107_prefix_search" -> bm25OracleSql(Seq.empty, 20,
+      termCondSql = "tf.term LIKE 's%'"),
+    "q108_facet_counts" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS term FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(lower(text),'[^a-z0-9_]+')) AS t
+        |    FROM documents)
+        |  WHERE length(t) BETWEEN 2 AND 64),
+        |m AS (SELECT DISTINCT doc_id FROM toks
+        |      WHERE term IN ('hash', 'join'))
+        |SELECT d.lang, count(*)::BIGINT AS n
+        |FROM m JOIN documents d USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the streamed-in index must equal a from-scratch build of the whole
     // corpus — same oracle as q50, reached through seed + 3 appended
     // micro-batch segments + a full replay

@@ -422,6 +422,44 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
     }
   }
 
+  /** Terms of the lexicon matching `prefix` (the engine's token fold
+    * applied first), sorted. Serving: a map scan when a driver-side
+    * lexicon is active; otherwise a `startsWith` filter on the lexicon
+    * parquet — pushed to the scan, and the lexicon is range-partitioned
+    * on term, so a web-scale vocabulary prunes to the O(1) files owning
+    * the prefix range. Expansion is HARD-CAPPED (Lucene's rewrite-term
+    * bound): blowing the cap is a loud error, never a silent trim — a
+    * trimmed expansion would silently change scores. */
+  def expandPrefix(prefix: String,
+      maxExpand: Int = Searcher.PrefixMaxExpand): Array[String] = {
+    val p = CodeTokenizer.foldPrefix(prefix, cfg.unicodeFold).getOrElse(
+      throw new IllegalArgumentException(
+        s"prefix must be a non-empty run of token characters, got: '$prefix'"))
+    val hits = localServe.map(_.lexicon).orElse(lexiconLocal) match {
+      case Some(lex) => lex.keysIterator.filter(_.startsWith(p)).toArray
+      case None =>
+        lexiconDF.filter($"term".startsWith(p))
+          .select($"term").as[String].collect()
+    }
+    require(hits.length <= maxExpand,
+      s"prefix '$p*' expands to ${hits.length} terms (> $maxExpand) — " +
+        "narrow the prefix")
+    hits.sorted
+  }
+
+  /** Prefix (wildcard) top-k: `pre*` scores as the OR of every lexicon
+    * term matching the prefix — each expanded term keeps its own df/idf,
+    * summed per doc exactly like a hand-written multi-term query (Lucene
+    * MultiTermQuery + BooleanRewrite semantics). Expanded terms are
+    * canonical lexicon tokens, so handing them to [[searchWAND]] re-enters
+    * the normal serving path unchanged (WAND pruning, tombstones, filters
+    * all compose). */
+  def searchPrefix(prefix: String, k: Int): Array[ScoredDoc] = {
+    val terms = expandPrefix(prefix)
+    if (terms.isEmpty) Array.empty
+    else searchWAND(terms.mkString(" "), k)
+  }
+
   /** Exact top-k via sharded Block-Max WAND. `allow` (optional): filtered
     * search — only docIds in the set may surface ([[searchWhere]]). */
   def searchWAND(query: String, k: Int,
@@ -671,6 +709,11 @@ object Searcher {
     * for in-process queries (~0.5 KB/block ⇒ ~128 MB at the default). Any
     * index above it — every real cluster corpus — serves distributed. */
   val DefaultLocalServeMaxBlocks: Long = 262144L
+
+  /** Prefix-expansion hard cap (Lucene's default max rewrite terms):
+    * above it [[Searcher.expandPrefix]] fails loudly rather than silently
+    * trimming the term set (which would change scores). */
+  val PrefixMaxExpand: Int = 1024
 
   /** Per-QUERY gather budget on distributed indexes: when the query terms'
     * total block count (known from the lexicon before touching postings)

@@ -426,6 +426,25 @@ object TpchQueries {
       ops.read("t").orderBy(col("o_orderkey"))
     }),
 
+    // --- incremental change read between snapshots (Iceberg changelog /
+    //     incremental-scan role; the engine's CDC surface over the
+    //     copy-on-write manifest diff). Full DML mix — delete, update,
+    //     insert — then changes(v0, current) must equal the pure-SQL
+    //     snapshot diff: deletes = pre EXCEPT ALL post, inserts = post
+    //     EXCEPT ALL pre. Rows carried along by copy-on-write rewrites
+    //     must NOT surface (the netting pin; also in TableOpsSpec).
+    "q106_changes" -> ((s, d) => {
+      val ops = freshTable(s, d, "q106")
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      ops.create("t", o.filter(col("o_orderkey") < 1000))
+      ops.delete("t", col("o_orderstatus") === "F")
+      ops.update("t", col("o_totalprice") > 150000.0, "o_orderstatus", lit("X"))
+      ops.insert("t", o.filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 1200))
+      ops.changes("t", 0L, ops.currentVersion("t"))
+        .orderBy(col("_change_type"), col("o_orderkey"))
+    }),
+
     // --- IndexScan over a managed table (reference index_iterator.cpp /
     //     bwtree_index.h: a selective key predicate reaches only matching
     //     blocks): the table is laid out as ranged files whose per-file
@@ -1227,6 +1246,28 @@ object TpchQueries {
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey < 1000 AND o_orderstatus <> 'F'
         |ORDER BY o_orderkey""".stripMargin,
+    "q106_changes" ->
+      """WITH pre AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey < 1000),
+        |post AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_totalprice > 150000.0 THEN 'X' ELSE o_orderstatus END
+        |      AS o_orderstatus,
+        |    o_totalprice
+        |  FROM orders WHERE o_orderkey < 1000 AND o_orderstatus <> 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey >= 1000 AND o_orderkey < 1200)
+        |SELECT * FROM (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    'insert' AS _change_type
+        |  FROM (SELECT * FROM post EXCEPT ALL SELECT * FROM pre)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    'delete' AS _change_type
+        |  FROM (SELECT * FROM pre EXCEPT ALL SELECT * FROM post))
+        |ORDER BY _change_type, o_orderkey""".stripMargin,
     "q58_sketch_agg" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_nd,
         |  TRUE AS hll_ok, TRUE AS pctl_ok

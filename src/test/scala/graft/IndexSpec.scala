@@ -316,4 +316,36 @@ class IndexSpec extends AnyFunSuite {
     val q = someTerms.take(3).toArray
     assert(searcher.postingsFilesFor(q).size <= 6)
   }
+
+  test("prefix search == OR of the expanded terms (MultiTermQuery semantics)") {
+    built
+    // expansion: exactly the lexicon terms with the prefix, sorted
+    val lexTerms = spark.read.parquet(cfg(indexDir).lexiconPath)
+      .select($"term").as[String].collect()
+    val p = "in" // 'in', 'int', 'include'... — multi-term on this corpus
+    val expected = lexTerms.filter(_.startsWith(p)).sorted
+    assert(expected.length >= 2, s"corpus has ${expected.length} '$p*' terms")
+    assert(searcher.expandPrefix(p).toSeq == expected.toSeq)
+
+    // scoring: identical (docIds AND scores) to querying the expansion
+    val viaPrefix = searcher.searchPrefix(p, 10).toVector
+    val viaTerms = searcher.searchWAND(expected.mkString(" "), 10).toVector
+    assert(viaPrefix == viaTerms)
+    assert(viaPrefix.nonEmpty)
+    // and to the sequential reference scorer on the same expansion
+    assert(viaPrefix == oracle.topK(expected.mkString(" "), 10))
+
+    // the fold applies to the prefix (case), 1-char prefixes are legal
+    assert(searcher.expandPrefix("IN").toSeq == expected.toSeq)
+    assert(searcher.expandPrefix("i", maxExpand = 1 << 20).length
+      >= expected.length)
+
+    // no-match prefix -> empty result, not an error
+    assert(searcher.searchPrefix("zzzz_no_such", 10).isEmpty)
+
+    // guardrails: hard cap fails loudly; malformed prefixes rejected
+    intercept[IllegalArgumentException](searcher.expandPrefix("i", maxExpand = 1))
+    intercept[IllegalArgumentException](searcher.expandPrefix("a b"))
+    intercept[IllegalArgumentException](searcher.expandPrefix(""))
+  }
 }

@@ -764,4 +764,47 @@ class TableOpsSpec extends AnyFunSuite {
     ops.insert("t", spark.range(3, 5).toDF("id"))
     assert(ops.read("t").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
   }
+
+  test("changes(): net row diff between snapshots, reads only changed files") {
+    val ops = new TableOps(spark, TestSpark.tmpDir("graft-changes"))
+    // two files so one can stay untouched across the whole DML sequence
+    ops.create("t", Seq((1L, "a"), (2L, "b")).toDF("id", "name").coalesce(1))
+    ops.insert("t", Seq((3L, "c"), (4L, "d")).toDF("id", "name").coalesce(1))
+    val v0 = ops.currentVersion("t") // state: 1a 2b | 3c 4d
+
+    // same-version diff is empty
+    assert(ops.changes("t", v0, v0).count() == 0)
+
+    // UPDATE rewrites the (3,4) file; the carried row 4d must NOT surface
+    ops.update("t", col("id") === 3L, "name", lit("C"))
+    val ch1 = ops.changes("t", v0, ops.currentVersion("t"))
+      .as[(Long, String, String)].collect().toSet
+    assert(ch1 == Set((3L, "c", "delete"), (3L, "C", "insert")))
+
+    // the diff scan must not open the untouched (1,2) file
+    val touched = ops.changes("t", v0, ops.currentVersion("t")).inputFiles
+      .map(_.split('/').last).toSet
+    // untouched = files carried by reference from v0 into the current
+    // manifest (present in both versions)
+    val untouchedFile =
+      ops.readVersion("t", v0).inputFiles.map(_.split('/').last).toSet
+        .intersect(ops.read("t").inputFiles.map(_.split('/').last).toSet)
+    assert(untouchedFile.nonEmpty && touched.intersect(untouchedFile).isEmpty,
+      s"diff opened untouched files: ${touched.intersect(untouchedFile)}")
+
+    // delete + insert compose; multiset netting stays exact
+    ops.delete("t", col("id") === 1L)
+    ops.insert("t", Seq((5L, "e")).toDF("id", "name"))
+    val ch2 = ops.changes("t", v0, ops.currentVersion("t"))
+      .as[(Long, String, String)].collect().toSet
+    assert(ch2 == Set((3L, "c", "delete"), (1L, "a", "delete"),
+      (3L, "C", "insert"), (5L, "e", "insert")))
+
+    // schema evolution between the versions is a declared boundary
+    ops.addColumn("t", "extra", "'x'")
+    val err = intercept[IllegalArgumentException] {
+      ops.changes("t", v0, ops.currentVersion("t"))
+    }
+    assert(err.getMessage.contains("schema evolution"))
+  }
 }
