@@ -159,6 +159,17 @@ object IndexQueries {
       .orderBy(col(facetCol))
   }
 
+  /** Boolean-retrieval BM25 ([[graft.query.Searcher.searchBoolean]]):
+    * `+must` / `-not` / bare-should roles restrict membership; scores stay
+    * the plain multi-term BM25 of the present must+should terms. Same
+    * adaptive rounded-tie serving discipline as [[bm25]]. */
+  def bm25Boolean(s: SparkSession, dir: String, query: String,
+      k: Int): DataFrame = {
+    val cfg = indexFor(s, dir)
+    val searcher = searcherFor(s, dir)
+    adaptiveTopDf(s, cfg, k)(fetch => searcher.searchBoolean(query, fetch))
+  }
+
   /** The positional sidecar for dir's cached index (idempotent — the
     * manifest `positions` record skips a completed build whose fingerprint
     * matches the current content). */
@@ -320,6 +331,11 @@ object IndexQueries {
     // --- facet counts by language over the FULL 'hash join' match set
     //     (every matching doc, not top-k) — the search-aggregation surface
     "q108_facet_counts" -> ((s, d) => facetCounts(s, d, "hash join", "lang")),
+    // --- boolean retrieval: docs MUST contain 'hash', MUST NOT contain
+    //     'merge', 'join' optionally boosts — scored as plain BM25 over
+    //     the present (hash, join) terms; the oracle restricts membership
+    //     with IN/NOT IN over its own token table
+    "q109_boolean_search" -> ((s, d) => bm25Boolean(s, d, "+hash join -merge", 20)),
 
     // --- lexicon (df) vs SQL recomputation: top-50 by df
     "q52_index_lexicon" -> ((s, d) => {
@@ -560,6 +576,9 @@ object IndexQueries {
       allowSql = "SELECT doc_id FROM documents WHERE lang = 'es'"),
     "q107_prefix_search" -> bm25OracleSql(Seq.empty, 20,
       termCondSql = "tf.term LIKE 's%'"),
+    "q109_boolean_search" -> bm25OracleSql(Seq("hash", "join"), 20,
+      allowSql = "SELECT doc_id FROM tf WHERE term = 'hash' AND doc_id " +
+        "NOT IN (SELECT doc_id FROM tf WHERE term = 'merge')"),
     "q108_facet_counts" ->
       """WITH toks AS (
         |  SELECT doc_id, t AS term FROM (

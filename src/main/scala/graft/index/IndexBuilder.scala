@@ -706,6 +706,10 @@ object IndexBuilder {
       val intact = stats(cfg).numDocs == staged.extra("numDocs").toLong
       finishCompactSwaps(manifest, cfg, doneIdx, staged,
         refreshRecords = intact)
+      // the swaps deleted/replaced live dirs: re-list any cached plan
+      // rooted here so later readers aren't substituted a stale listing
+      // over dead files (see append step 5)
+      spark.catalog.refreshByPath(cfg.indexDir)
       if (intact) {
         val st0 = stats(cfg)
         return CorpusStats(st0.numDocs, st0.avgDl, st0.totalTokens,
@@ -774,6 +778,8 @@ object IndexBuilder {
           "compactedSegments" -> (appends.size + 1).toString)))
     finishCompactSwaps(manifest, cfg, compactIdx,
       manifest.get(s"compact-$compactIdx-staged").get)
+    // post-swap re-list, same reason as the recovery path above
+    spark.catalog.refreshByPath(cfg.indexDir)
     CorpusStats(st.numDocs, st.avgDl, st.totalTokens, vocabN)
   }
 
@@ -1032,11 +1038,25 @@ object IndexBuilder {
     }
 
     // 5) lexicon: full recompute from the merged postings + vocabulary
-    //    (idempotent — a crash mid-overwrite re-runs this step entirely)
+    //    (idempotent — a crash mid-overwrite re-runs this step entirely).
+    //    First, re-list cached plans rooted here: a live Searcher's
+    //    PERSISTED postings plan pins the PRE-merge file listing, and
+    //    Spark's CacheManager substitutes cached plans into ANY matching
+    //    read — this recompute would silently miss the new segment's
+    //    blocks and write a lexicon whose dfs undercount (live df 0 after
+    //    a full-file rewrite ⇒ empty results). The call must come AFTER
+    //    the segment files land (an earlier refresh would just re-pin the
+    //    pre-merge listing).
+    spark.catalog.refreshByPath(cfg.indexDir)
     val parts = if (cfg.buildPartitions > 0) cfg.buildPartitions
       else spark.sparkContext.defaultParallelism
     val vocabN = writeLexicon(spark, cfg.postingsPath, cfg.vocabPath,
       cfg.lexiconPath, parts)
+    // ...and again now that writeLexicon's overwrite replaced the lexicon
+    // files: the refresh above left any cached lexicon plan as a LAZY
+    // entry over the just-deleted old files — re-listing here keeps the
+    // mergedBlocks read below (and every later reader) off dead paths.
+    spark.catalog.refreshByPath(cfg.indexDir)
 
     // refresh the authoritative `postings` record with the MERGED block
     // count (summed from the just-written vocab-sized lexicon — no postings

@@ -151,6 +151,11 @@ object PositionalIndex {
       .write.mode("overwrite").parquet(stage)
     val n = spark.read.parquet(stage).count()
     IndexBuilder.mergeParquetDir(stage, cfg.positionsPath, s"posseg$segIdx")
+    // re-list cached plans rooted here now that the posseg files exist: a
+    // live Searcher's persisted positional reads pin the pre-append file
+    // listing and would otherwise be substituted — minus this segment —
+    // into later phrase queries (see IndexBuilder.append step 5)
+    spark.catalog.refreshByPath(cfg.indexDir)
     manifest.commit(StageRecord(s"posseg-$segIdx", "complete", fp, n,
       (System.nanoTime() - t0) / 1000000, Map.empty))
     n

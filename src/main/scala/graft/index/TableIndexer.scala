@@ -206,6 +206,13 @@ final class TableIndexer(spark: SparkSession, ops: TableOps,
     }
 
     commitSync(table, cur)
+    // drop any cached plans rooted under the index dir a second time: a
+    // Searcher left open across this refresh re-materializes its persisted
+    // reads from its ORIGINAL file listing, and a later (fresh) Searcher's
+    // identical-path reads would be cache-substituted with that stale data.
+    // (IndexBuilder.append already invalidated at ITS entry — this covers
+    // the refresh's own later reads and readers created after it.)
+    spark.catalog.refreshByPath(cfg.indexDir)
     IndexBuilder.stats(cfg)
   }
 

@@ -460,6 +460,53 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
     else searchWAND(terms.mkString(" "), k)
   }
 
+  /** Live (docId, termId) posting pairs of `termIds` — tombstone-filtered,
+    * one row per live containing doc per term. */
+  private def livePairs(termIds: Array[Int]) = {
+    val tsB = tombstonesBroadcast
+    blocksFor(termIds).flatMap { blk =>
+      val ts = tsB.value
+      PostingCodec.decodeBlock(blk.bytes).iterator
+        .filter(pp => ts.isEmpty || !ts.contains(pp.docId))
+        .map(pp => (pp.docId, blk.termId))
+    }.toDF("docId", "termId")
+  }
+
+  /** Boolean retrieval (Lucene BooleanQuery roles): `+term` MUST appear,
+    * `-term` MUST NOT, bare terms are optional SHOULD matches. A result
+    * doc contains every must term and no must-not term (and, with no must
+    * terms, at least one should term); its score is the ordinary BM25 sum
+    * over the present must+should terms — idf/df/N/avgdl are those of the
+    * whole live index, so scores equal the plain multi-term query's on the
+    * same doc (the boolean structure only restricts membership, exactly
+    * like [[searchWhere]]'s contract). Exclusions/conjunction checks run
+    * as semi/anti joins on the terms' own postings — fully distributed,
+    * no driver-side doc sets. A must term with no live postings, or a term
+    * required AND forbidden, yields the empty result. */
+  def searchBoolean(query: String, k: Int): Array[ScoredDoc] = {
+    val (must, should, not) = Searcher.parseBoolean(query, cfg.unicodeFold)
+    if (must.exists(not.contains)) return Array.empty
+    val lexM = lexLive(must)
+    if (lexM.size < must.length) return Array.empty
+    val scoring = (must ++ should.filterNot(not.contains)).distinct.sorted
+    if (scoring.isEmpty) return Array.empty
+    var df = scoreAll(scoring.mkString(" ")).toDF()
+    if (must.nonEmpty) {
+      val nMust = must.length.toLong
+      val ok = livePairs(must.map(t => lexM(t)._1))
+        .groupBy($"docId").count().filter($"count" === nMust)
+        .select($"docId")
+      df = df.join(ok, Seq("docId"), "left_semi")
+    }
+    val lexN = lexLive(not)
+    if (lexN.nonEmpty) {
+      val bad = livePairs(lexN.values.map(_._1).toArray)
+        .select($"docId").distinct()
+      df = df.join(bad, Seq("docId"), "left_anti")
+    }
+    df.as[ScoredDoc].orderBy($"score".desc, $"docId".asc).limit(k).collect()
+  }
+
   /** Exact top-k via sharded Block-Max WAND. `allow` (optional): filtered
     * search — only docIds in the set may surface ([[searchWhere]]). */
   def searchWAND(query: String, k: Int,
@@ -714,6 +761,26 @@ object Searcher {
     * above it [[Searcher.expandPrefix]] fails loudly rather than silently
     * trimming the term set (which would change scores). */
   val PrefixMaxExpand: Int = 1024
+
+  /** Split a boolean query into (must, should, mustNot) canonical term
+    * arrays: a whitespace word's `+`/`-` prefix sets the role for every
+    * token the word folds to; bare words are SHOULD. Each bucket deduped
+    * and sorted (the engine's canonical term order). */
+  def parseBoolean(query: String, unicodeFold: Boolean = false)
+      : (Array[String], Array[String], Array[String]) = {
+    val must = scala.collection.mutable.ArrayBuffer.empty[String]
+    val should = scala.collection.mutable.ArrayBuffer.empty[String]
+    val not = scala.collection.mutable.ArrayBuffer.empty[String]
+    query.split("\\s+").iterator.filter(_.nonEmpty).foreach { w =>
+      val (bucket, body) =
+        if (w.startsWith("+")) (must, w.drop(1))
+        else if (w.startsWith("-")) (not, w.drop(1))
+        else (should, w)
+      bucket ++= CodeTokenizer.tokenize(body, unicodeFold)
+    }
+    (must.distinct.sorted.toArray, should.distinct.sorted.toArray,
+      not.distinct.sorted.toArray)
+  }
 
   /** Per-QUERY gather budget on distributed indexes: when the query terms'
     * total block count (known from the lexicon before touching postings)

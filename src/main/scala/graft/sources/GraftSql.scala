@@ -36,8 +36,11 @@ import org.apache.spark.sql.functions._
   *   DROP TRIGGER tr
   *   CREATE SEARCH INDEX idx ON t [WITH POSITIONS] | DROP SEARCH INDEX idx
   *   REFRESH SEARCH INDEX idx       | SEARCH idx 'text' [TOP k]
+  *   SEARCH idx 'pre*' [TOP k]          (wildcard: lexicon expansion)
+  *   SEARCH idx '+must term -not' [TOP k]   (boolean retrieval)
   *   SEARCH idx PHRASE 'text' [TOP k]   (needs WITH POSITIONS)
   *   SEARCH idx 'text' WHERE <pred> [TOP k]   (attribute-filtered)
+  *   SEARCH idx 'text' FACET col        (full-match-set counts)
   *   BEGIN | COMMIT | ROLLBACK
   *   <select>  (managed tables referenced by name resolve to their
   *              current snapshot; inside a transaction, to its
@@ -119,6 +122,8 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
     """(?is)^\s*SEARCH\s+(\w+)\s+PHRASE\s+'([^']*)'(?:\s+TOP\s+(\d+))?\s*$""".r
   private val SearchWhere =
     """(?is)^\s*SEARCH\s+(\w+)\s+'([^']*)'\s+WHERE\s+(.+?)(?:\s+TOP\s+(\d+))?\s*$""".r
+  private val SearchFacet =
+    """(?is)^\s*SEARCH\s+(\w+)\s+'([^']*)'\s+FACET\s+(\w+)\s*$""".r
   private val Begin = """(?is)^\s*BEGIN\s*$""".r
   private val Commit = """(?is)^\s*COMMIT\s*$""".r
   private val Rollback = """(?is)^\s*ROLLBACK\s*$""".r
@@ -240,6 +245,8 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
       ack("REFRESH SEARCH INDEX", name, -1L)
     case SearchPhrase(name, text, k) => // before Search: both begin SEARCH
       searchPhrase(name, text, if (k == null) 10 else k.toInt)
+    case SearchFacet(name, text, facetCol) =>
+      searchFacet(name, text, facetCol)
     case SearchWhere(name, text, pred, k) =>
       searchWhere(name, text, pred, if (k == null) 10 else k.toInt)
     case Search(name, text, k) =>
@@ -365,10 +372,42 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
 
   /** `SEARCH idx 'text' TOP k`: BM25 top-k through the maintained index —
     * (repo, path, commit, score), score DESC then index docId ASC (the
-    * engine-wide tie-break). */
+    * engine-wide tie-break). A query of exactly one token ending in `*`
+    * is a WILDCARD query: it expands against the index's lexicon and
+    * scores as the OR of the expanded terms
+    * ([[graft.query.Searcher.searchPrefix]] — hard expansion cap, loud
+    * on overflow). Mixed term/wildcard queries are not accepted (their
+    * scoring semantics would be ambiguous — Lucene makes the same split
+    * between TermQuery and MultiTermQuery). */
   def search(name: String, query: String, k: Int): DataFrame = {
     val (_, searcher) = searcherFor(name)
-    serveTop(name, searcher.searchWAND(query, k), k)
+    val top = GraftSql.wildcardPrefix(query) match {
+      case Some(p) => searcher.searchPrefix(p, k)
+      case None =>
+        require(!query.contains("*"),
+          s"wildcard must be a single trailing-'*' token, got: '$query'")
+        if (GraftSql.hasBooleanOps(query)) searcher.searchBoolean(query, k)
+        else searcher.searchWAND(query, k)
+    }
+    serveTop(name, top, k)
+  }
+
+  /** `SEARCH idx 'text' FACET col`: counts of the FULL match set (every
+    * table row whose indexed content contains ≥ 1 query term — not the
+    * top-k) grouped by a column of the indexed table, (col, n) ordered by
+    * col — the search-aggregation surface (Lucene faceting). Fully
+    * distributed: postings-driven match set joined back through the
+    * index's docs table; no driver-side doc set. */
+  def searchFacet(name: String, query: String, facetCol: String): DataFrame = {
+    val (ti, searcher) = searcherFor(name)
+    val (table, _) = ops.searchIndexMeta(name)
+    val matches = searcher.scoreAll(query).toDF().select(col("docId"))
+    matches
+      .join(spark.read.parquet(ti.cfg.docsPath)
+        .select(col("docId"), col("repo"), col("path"), col("commit")), "docId")
+      .join(ops.read(table), Seq("repo", "path", "commit"))
+      .groupBy(col(facetCol)).agg(count(lit(1)).as("n"))
+      .orderBy(col(facetCol))
   }
 
   /** `SEARCH idx PHRASE 'text' TOP k`: exact-phrase BM25 through the
@@ -513,4 +552,24 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
     out += s.substring(start)
     out.result().map(_.trim).filter(_.nonEmpty)
   }
+}
+
+object GraftSql {
+  /** Some(prefix) when the SEARCH text is exactly one token ending in `*`
+    * (the wildcard form `pre*`); None for plain term queries. Prefix
+    * character validation happens downstream in
+    * [[graft.query.Searcher.expandPrefix]]. */
+  def wildcardPrefix(query: String): Option[String] = {
+    val q = query.trim
+    if (q.length >= 2 && q.endsWith("*") && !q.dropRight(1).exists(_.isWhitespace)
+        && !q.dropRight(1).contains("*"))
+      Some(q.dropRight(1))
+    else None
+  }
+
+  /** True when any whitespace word carries a `+`/`-` boolean-role prefix
+    * with a non-empty body — routes SEARCH to boolean retrieval. */
+  def hasBooleanOps(query: String): Boolean =
+    query.split("\\s+").exists(w =>
+      w.length > 1 && (w.startsWith("+") || w.startsWith("-")))
 }

@@ -217,6 +217,45 @@ class GraftSqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](sql.exec("SEARCH dix 'x' TOP 5"))
   }
 
+  test("SEARCH wildcard + FACET: prefix expansion and match-set counts") {
+    val sql = fresh("wfacet")
+    val docs = (0 until 100).map(i => graft.corpus.CorpusGen.genFile(i.toLong, 9L))
+    docs.toDF().createOrReplaceTempView("seed_wfacet")
+    sql.exec("CREATE TABLE docs AS SELECT * FROM seed_wfacet")
+    sql.exec("INSERT INTO docs VALUES ('zz/r', 'pa', 'c1', 'scala', " +
+      "'wld_alpha wld_alpha body'), ('zz/r', 'pb', 'c1', 'java', " +
+      "'wld_beta body text')")
+    sql.exec("CREATE SEARCH INDEX wix ON docs")
+
+    // wildcard == the hand-expanded OR query, docIds AND scores
+    val viaStar = sql.exec("SEARCH wix 'wld_*' TOP 5")
+      .as[(String, String, String, Double)].collect().toSeq
+    val viaOr = sql.exec("SEARCH wix 'wld_alpha wld_beta' TOP 5")
+      .as[(String, String, String, Double)].collect().toSeq
+    assert(viaStar == viaOr && viaStar.map(_._2).toSet == Set("pa", "pb"))
+    // malformed wildcards are loud, not silently mis-scored
+    intercept[IllegalArgumentException](sql.exec("SEARCH wix 'hash jo*' TOP 5"))
+
+    // FACET: counts of the FULL match set by table attribute, twin-checked
+    // against direct tokenization of the current table state
+    val facets = sql.exec("SEARCH wix 'hash join' FACET lang")
+      .as[(String, Long)].collect().toMap
+    val expected = sql.ops.read("docs")
+      .select("lang", "content").as[(String, String)].collect()
+      .filter { case (_, c) =>
+        val ts = graft.analysis.CodeTokenizer.tokenize(c)
+        ts.contains("hash") || ts.contains("join") }
+      .groupBy(_._1).map { case (l, rs) => l -> rs.length.toLong }
+    assert(facets == expected && facets.values.sum > 5)
+
+    // the facet set follows DML: deleting one language's matches drops it
+    sql.exec("DELETE FROM docs WHERE lang = 'scala'")
+    val after = sql.exec("SEARCH wix 'hash join' FACET lang")
+      .as[(String, Long)].collect().toMap
+    assert(!after.contains("scala") &&
+      after == expected.filterNot(_._1 == "scala"))
+  }
+
   test("metadata-only aggregates: stats-served plan, scan-twin values, " +
       "honest fallthrough") {
     val sql = fresh("statsagg")

@@ -348,4 +348,34 @@ class IndexSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](searcher.expandPrefix("a b"))
     intercept[IllegalArgumentException](searcher.expandPrefix(""))
   }
+
+  test("boolean retrieval: +must/-not restrict membership, scores unchanged") {
+    built
+    def tokensOf(f: SourceFile): Set[String] =
+      graft.analysis.CodeTokenizer.termFreqs(f.content)._1.keySet.toSet
+    val byDoc = corpusLocal.sortBy(f => (f.repo, f.path, f.commit))
+      .zipWithIndex.map { case (f, i) => i.toLong -> tokensOf(f) }.toMap
+    val all = searcher.scoreAll("if return").collect()
+      .map(sd => sd.docId -> sd.score).toMap
+
+    // +if return: exactly the 'if'-containing matches, plain-query scores
+    val mustHits = searcher.searchBoolean("+if return", byDoc.size + 10)
+    assert(mustHits.map(_.docId).toSet ==
+      all.keySet.filter(d => byDoc(d).contains("if")))
+    mustHits.foreach(sd => assert(sd.score == all(sd.docId), s"doc ${sd.docId}"))
+
+    // exclusion: 'hash'-containing docs vanish, survivors keep scores
+    val notHits = searcher.searchBoolean("if return -hash", byDoc.size + 10)
+    assert(notHits.map(_.docId).toSet ==
+      all.keySet.filterNot(d => byDoc(d).contains("hash")))
+    notHits.foreach(sd => assert(sd.score == all(sd.docId)))
+
+    // degenerate forms
+    assert(searcher.searchBoolean("+zzzz_absent if", 10).isEmpty)
+    assert(searcher.searchBoolean("+if -if", 10).isEmpty)
+    assert(searcher.searchBoolean("-if", 10).isEmpty)
+    // no operators == the plain ranking
+    assert(searcher.searchBoolean("if return", 10).toVector ==
+      searcher.searchTAAT("if return", 10).toVector)
+  }
 }

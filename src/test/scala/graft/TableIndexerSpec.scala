@@ -82,6 +82,33 @@ class TableIndexerSpec extends AnyFunSuite {
     assertParity("ins", ti.cfg, a ++ b)
   }
 
+  test("a Searcher left open across refresh() does not poison the merge") {
+    // Regression: a live Searcher's PERSISTED postings plan (scoreAll
+    // materializes one) pins the pre-append file listing; without the
+    // cache invalidation inside IndexBuilder.append, Spark substitutes it
+    // into the post-merge lexicon recompute and the merged dfs silently
+    // miss the new segment (live df 0 after a full-file rewrite -> empty
+    // results). WAND-only sessions never hit it (local serving collects
+    // without persisting), which is why only scoreAll-style traffic
+    // exposed the bug.
+    import spark.implicits._
+    val ops = new TableOps(spark, TestSpark.tmpDir("graft-tidx-open"))
+    val a = mkFiles(0 until 200)
+    ops.create("t", a.toDF().coalesce(2))
+    val ti = new TableIndexer(spark, ops, cfg(TestSpark.tmpDir("graft-tidx-open-idx")))
+    ti.create("t")
+    val s0 = new Searcher(spark, ti.cfg)
+    assert(s0.scoreAll(queries.head).count() > 0) // persists postings+norms
+    // the delete rewrites its file(s): those docIds die and the survivors
+    // re-enter as a segment whose dfs the merged lexicon MUST include —
+    // exact-score parity with a scratch rebuild detects any missing df
+    ops.delete("t", col("path").isin(a.take(20).map(_.path): _*))
+    ti.refresh("t")
+    // s0 stays OPEN (not closed) — parity must hold for a fresh reader
+    assertParity("open-searcher", ti.cfg, a.drop(20))
+    s0.close()
+  }
+
   test("update + delete tombstone dead docs; scores equal a live-state rebuild") {
     import spark.implicits._
     val ops = new TableOps(spark, TestSpark.tmpDir("graft-tidx-mut"))
