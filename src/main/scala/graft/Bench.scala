@@ -150,7 +150,8 @@ object Bench {
       "q98_hash_topn", "q99_table_search", "q100_sql_search",
       "q101_phrase_search", "q102_phrase_maintained", "q103_stats_agg",
       "q104_filtered_search", "q105_stream_search", "q106_changes",
-      "q107_prefix_search", "q108_facet_counts", "q109_boolean_search")
+      "q107_prefix_search", "q108_facet_counts", "q109_boolean_search",
+      "q110_sql_changes")
     val extras = newOps.map { name =>
       val fn = SparkEntry.queries(name)
       name -> (1 to 2).map(_ => secs { fn(spark, sfDir).count() }).min

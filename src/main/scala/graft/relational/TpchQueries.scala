@@ -445,6 +445,28 @@ object TpchQueries {
         .orderBy(col("_change_type"), col("o_orderkey"))
     }),
 
+    // --- the q106 CDC lifecycle driven purely through SQL statements,
+    //     with a COMPACT TABLE dropped in the middle: compaction rewrites
+    //     every file but preserves content, so CHANGES across it must
+    //     still net to exactly the DML's row diff (same oracle as q106) —
+    //     pinning both the SQL maintenance surface and the diff's
+    //     rewrite-invariance
+    "q110_sql_changes" -> ((s, d) => {
+      val ops = freshTable(s, d, "q110")
+      val door = new graft.sources.GraftSql(s, ops)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .createOrReplaceTempView("orders_q110")
+      door.exec("CREATE TABLE t AS SELECT * FROM orders_q110 WHERE o_orderkey < 1000")
+      door.exec("DELETE FROM t WHERE o_orderstatus = 'F'")
+      door.exec("UPDATE t SET o_orderstatus = 'X' WHERE o_totalprice > 150000.0")
+      door.exec("COMPACT TABLE t")
+      door.exec("INSERT INTO t SELECT * FROM orders_q110 " +
+        "WHERE o_orderkey >= 1000 AND o_orderkey < 1200")
+      door.exec(s"CHANGES t FROM 0 TO ${ops.currentVersion("t")}")
+        .orderBy(col("_change_type"), col("o_orderkey"))
+    }),
+
     // --- IndexScan over a managed table (reference index_iterator.cpp /
     //     bwtree_index.h: a selective key predicate reaches only matching
     //     blocks): the table is laid out as ranged files whose per-file
@@ -1247,6 +1269,29 @@ object TpchQueries {
         |WHERE o_orderkey < 1000 AND o_orderstatus <> 'F'
         |ORDER BY o_orderkey""".stripMargin,
     "q106_changes" ->
+      """WITH pre AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey < 1000),
+        |post AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_totalprice > 150000.0 THEN 'X' ELSE o_orderstatus END
+        |      AS o_orderstatus,
+        |    o_totalprice
+        |  FROM orders WHERE o_orderkey < 1000 AND o_orderstatus <> 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey >= 1000 AND o_orderkey < 1200)
+        |SELECT * FROM (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    'insert' AS _change_type
+        |  FROM (SELECT * FROM post EXCEPT ALL SELECT * FROM pre)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    'delete' AS _change_type
+        |  FROM (SELECT * FROM pre EXCEPT ALL SELECT * FROM post))
+        |ORDER BY _change_type, o_orderkey""".stripMargin,
+    // identical to q106: compaction must be invisible to the net diff
+    "q110_sql_changes" ->
       """WITH pre AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |  WHERE o_orderkey < 1000),

@@ -28,6 +28,9 @@ import org.apache.spark.sql.functions._
   *     WHEN NOT MATCHED THEN INSERT ALL
   *   ALTER TABLE t ADD COLUMN c DEFAULT <expr> | ALTER TABLE t DROP COLUMN c
   *   TRUNCATE TABLE t | DROP TABLE t
+  *   COMPACT TABLE t [SORT BY c1[, c2 …] [ZORDER]]
+  *   EXPIRE TABLE t KEEP n | VACUUM TABLE t [MIN AGE ms]
+  *   CHANGES t FROM v1 TO v2      (net row diff between snapshots)
   *   CREATE [OR REPLACE] VIEW v AS <select> | DROP VIEW v
   *   CREATE [OR REPLACE] FUNCTION f(params) RETURNS type RETURN <expr>
   *   DROP FUNCTION f
@@ -124,6 +127,14 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
     """(?is)^\s*SEARCH\s+(\w+)\s+'([^']*)'\s+WHERE\s+(.+?)(?:\s+TOP\s+(\d+))?\s*$""".r
   private val SearchFacet =
     """(?is)^\s*SEARCH\s+(\w+)\s+'([^']*)'\s+FACET\s+(\w+)\s*$""".r
+  private val CompactTableStmt =
+    """(?is)^\s*COMPACT\s+TABLE\s+(\w+)(?:\s+SORT\s+BY\s+([\w\s,]+?))?(\s+ZORDER)?\s*$""".r
+  private val ExpireTableStmt =
+    """(?is)^\s*EXPIRE\s+TABLE\s+(\w+)\s+KEEP\s+(\d+)\s*$""".r
+  private val VacuumTableStmt =
+    """(?is)^\s*VACUUM\s+TABLE\s+(\w+)(?:\s+MIN\s+AGE\s+(\d+))?\s*$""".r
+  private val ChangesStmt =
+    """(?is)^\s*CHANGES\s+(\w+)\s+FROM\s+(\d+)\s+TO\s+(\d+)\s*$""".r
   private val Begin = """(?is)^\s*BEGIN\s*$""".r
   private val Commit = """(?is)^\s*COMMIT\s*$""".r
   private val Rollback = """(?is)^\s*ROLLBACK\s*$""".r
@@ -208,6 +219,28 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
       ack("TRUNCATE", table, tv)
     case DropTable(table) =>
       noTx("DROP TABLE"); ops.dropTable(table); ack("DROP TABLE", table, -1L)
+    case CompactTableStmt(table, sortBy, zorder) =>
+      noTx("COMPACT TABLE")
+      val cols =
+        if (sortBy == null) Seq.empty[String]
+        else splitTopLevel(sortBy).map(_.trim).filter(_.nonEmpty)
+      require(zorder == null || cols.nonEmpty,
+        "COMPACT TABLE … ZORDER needs SORT BY columns (the Z-order dims)")
+      val tv = ops.compactTable(table, sortBy = cols, zorder = zorder != null)
+      ack("COMPACT TABLE", table, tv)
+    case ExpireTableStmt(table, keep) =>
+      noTx("EXPIRE TABLE")
+      val (vs, fs) = ops.expire(table, keep.toInt)
+      ack(s"EXPIRE TABLE ($vs snapshots, $fs files)", table,
+        ops.currentVersion(table))
+    case VacuumTableStmt(table, age) =>
+      noTx("VACUUM TABLE")
+      val n = ops.vacuum(table,
+        if (age == null) TableOps.DefaultVacuumAgeMs else age.toLong)
+      ack(s"VACUUM ($n files)", table, ops.currentVersion(table))
+    case ChangesStmt(table, fromV, toV) =>
+      // read-only over committed snapshots — legal inside a transaction too
+      ops.changes(table, fromV.toLong, toV.toLong)
     case CreateView(replace, name, select) =>
       val table = referencedManagedTables(select).headOption.getOrElse(
         throw new IllegalArgumentException(

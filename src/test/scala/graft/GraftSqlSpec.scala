@@ -217,6 +217,43 @@ class GraftSqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](sql.exec("SEARCH dix 'x' TOP 5"))
   }
 
+  test("maintenance DDL: COMPACT / EXPIRE / VACUUM / CHANGES statements") {
+    val sql = fresh("maint")
+    sql.exec("CREATE TABLE t AS SELECT id, id % 7 AS k FROM range(64)")
+    sql.exec("INSERT INTO t SELECT id, id % 7 AS k FROM range(64, 128)")
+    val v0 = sql.ops.currentVersion("t")
+    sql.exec("UPDATE t SET k = 99 WHERE id = 5")
+
+    // CHANGES: the net snapshot diff, carried rewrite rows excluded
+    val ch = sql.exec(s"CHANGES t FROM $v0 TO ${sql.ops.currentVersion("t")}")
+      .as[(Long, Long, String)].collect().toSet
+    assert(ch == Set((5L, 5L, "delete"), (5L, 99L, "insert")))
+
+    // COMPACT: row set intact; SORT BY / ZORDER forms run; ZORDER alone
+    // is rejected (no dims)
+    val before = sql.ops.read("t").inputFiles.length
+    sql.exec("COMPACT TABLE t")
+    assert(sql.ops.read("t").inputFiles.length <= before)
+    sql.exec("COMPACT TABLE t SORT BY id")
+    sql.exec("COMPACT TABLE t SORT BY id, k ZORDER")
+    assert(sql.exec("SELECT count(*) AS n FROM t").as[Long].head() == 128L)
+    assert(sql.exec("SELECT k FROM t WHERE id = 5").as[Long].head() == 99L)
+    intercept[IllegalArgumentException](sql.exec("COMPACT TABLE t ZORDER"))
+
+    // EXPIRE drops pre-window snapshots; VACUUM (age 0) sweeps orphans;
+    // the current state stays fully readable
+    sql.exec("EXPIRE TABLE t KEEP 1")
+    intercept[Exception](sql.ops.readVersion("t", v0))
+    sql.exec("VACUUM TABLE t MIN AGE 0")
+    assert(sql.exec("SELECT count(*) AS n FROM t").as[Long].head() == 128L)
+
+    // maintenance is not allowed inside a transaction
+    sql.exec("BEGIN")
+    intercept[IllegalArgumentException](sql.exec("COMPACT TABLE t"))
+    intercept[IllegalArgumentException](sql.exec("EXPIRE TABLE t KEEP 1"))
+    sql.exec("ROLLBACK")
+  }
+
   test("SEARCH wildcard + FACET: prefix expansion and match-set counts") {
     val sql = fresh("wfacet")
     val docs = (0 until 100).map(i => graft.corpus.CorpusGen.genFile(i.toLong, 9L))
