@@ -467,6 +467,26 @@ object TpchQueries {
         .orderBy(col("_change_type"), col("o_orderkey"))
     }),
 
+    // --- the q67 time-travel read through the SQL session: `t VERSION AS
+    //     OF 0` (Delta's syntax) must see the pre-DELETE snapshot while
+    //     the bare name sees the current one, in ONE statement
+    "q111_sql_time_travel" -> ((s, d) => {
+      val ops = freshTable(s, d, "q111")
+      val door = new graft.sources.GraftSql(s, ops)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .createOrReplaceTempView("orders_q111")
+      door.exec("CREATE TABLE t AS SELECT * FROM orders_q111 WHERE o_orderkey < 500")
+      door.exec("DELETE FROM t WHERE o_orderstatus = 'F'")
+      door.exec(
+        """SELECT o_orderkey, o_orderstatus, o_totalprice,
+          |  CAST(0 AS BIGINT) AS v FROM t VERSION AS OF 0
+          |UNION ALL
+          |SELECT o_orderkey, o_orderstatus, o_totalprice,
+          |  CAST(1 AS BIGINT) AS v FROM t
+          |ORDER BY v, o_orderkey""".stripMargin)
+    }),
+
     // --- IndexScan over a managed table (reference index_iterator.cpp /
     //     bwtree_index.h: a selective key predicate reaches only matching
     //     blocks): the table is laid out as ranged files whose per-file
@@ -1357,6 +1377,15 @@ object TpchQueries {
         |  AND l_discount >= 0.05 AND l_discount <= 0.07
         |  AND l_quantity < 24.0""".stripMargin,
     "q67_time_travel" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CAST(0 AS BIGINT) AS v FROM orders
+        |WHERE o_orderkey < 500
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CAST(1 AS BIGINT) AS v FROM orders
+        |WHERE o_orderkey < 500 AND o_orderstatus <> 'F'
+        |ORDER BY v, o_orderkey""".stripMargin,
+    "q111_sql_time_travel" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
         |  CAST(0 AS BIGINT) AS v FROM orders
         |WHERE o_orderkey < 500

@@ -47,7 +47,8 @@ import org.apache.spark.sql.functions._
   *   BEGIN | COMMIT | ROLLBACK
   *   <select>  (managed tables referenced by name resolve to their
   *              current snapshot; inside a transaction, to its
-  *              read-your-writes state)
+  *              read-your-writes state; `t VERSION AS OF n` reads the
+  *              historical snapshot — Delta's time-travel syntax)
   *
   * Transactions are the single-table TableOps.tx surface (the reference's
   * Begin/Commit/Abort): BEGIN opens a lazy transaction bound to the first
@@ -432,6 +433,7 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
     * distributed: postings-driven match set joined back through the
     * index's docs table; no driver-side doc set. */
   def searchFacet(name: String, query: String, facetCol: String): DataFrame = {
+    GraftSql.requirePlainQuery(query, "FACET")
     val (ti, searcher) = searcherFor(name)
     val (table, _) = ops.searchIndexMeta(name)
     val matches = searcher.scoreAll(query).toDF().select(col("docId"))
@@ -462,6 +464,7 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
     * membership is restricted ([[graft.query.Searcher.searchWhere]]). */
   def searchWhere(name: String, query: String, pred: String,
       k: Int): DataFrame = {
+    GraftSql.requirePlainQuery(query, "WHERE")
     val (ti, searcher) = searcherFor(name)
     val (table, _) = ops.searchIndexMeta(name)
     val allowed = ops.read(table).filter(pred)
@@ -540,18 +543,36 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
   /** Run a SELECT with every referenced managed table registered as a temp
     * view of its current snapshot (or the transaction's working state),
     * and every referenced stored function re-registered into the session. */
+  private val VersionAsOf =
+    """(?i)\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)\b""".r
+
   private def runSelect(select: String): DataFrame = {
-    referencedManagedTables(select).foreach { t =>
+    // time travel (Delta syntax): `t VERSION AS OF n` resolves to that
+    // committed snapshot via a dedicated temp view; the bare name (if it
+    // also appears) still resolves to the current/tx state below
+    var sql2 = select
+    VersionAsOf.findAllMatchIn(select).toSeq.foreach { m =>
+      val (t0, v) = (m.group(1), m.group(2).toLong)
+      if (ops.listTables().exists(_.equalsIgnoreCase(t0))) {
+        val alias = s"${t0}__asof_$v"
+        ops.readVersion(t0, v).createOrReplaceTempView(alias)
+        sql2 = VersionAsOf.replaceAllIn(sql2, mm =>
+          scala.util.matching.Regex.quoteReplacement(
+            if (mm.group(1).equalsIgnoreCase(t0) && mm.group(2).toLong == v)
+              alias else mm.matched))
+      }
+    }
+    referencedManagedTables(sql2).foreach { t =>
       val df = active match {
         case Some((bound, tx)) if bound == t => tx.read()
         case _ => ops.read(t)
       }
       df.createOrReplaceTempView(t)
     }
-    val words = """\b\w+\b""".r.findAllIn(select).map(_.toLowerCase).toSet
+    val words = """\b\w+\b""".r.findAllIn(sql2).map(_.toLowerCase).toSet
     ops.listFunctions().filter(f => words.contains(f.toLowerCase))
       .foreach(ops.registerFunction)
-    spark.sql(select)
+    spark.sql(sql2)
   }
 
   /** Managed tables the statement references by name (conservative word
@@ -605,4 +626,14 @@ object GraftSql {
   def hasBooleanOps(query: String): Boolean =
     query.split("\\s+").exists(w =>
       w.length > 1 && (w.startsWith("+") || w.startsWith("-")))
+
+  /** Reject wildcard/boolean operators where only plain term queries are
+    * implemented (WHERE filters, FACET): the tokenizer would silently
+    * strip `*`/`+`/`-` and score the residue as ordinary terms — a wrong
+    * answer is worse than a loud unsupported-combination error. */
+  private[sources] def requirePlainQuery(query: String, ctx: String): Unit =
+    require(wildcardPrefix(query).isEmpty && !hasBooleanOps(query) &&
+        !query.contains("*"),
+      s"wildcard/boolean query operators are not supported with $ctx — " +
+        s"got: '$query'")
 }

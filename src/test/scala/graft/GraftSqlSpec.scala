@@ -254,6 +254,25 @@ class GraftSqlSpec extends AnyFunSuite {
     sql.exec("ROLLBACK")
   }
 
+  test("VERSION AS OF reads historical snapshots inside plain SELECTs") {
+    val sql = fresh("asof")
+    sql.exec("CREATE TABLE t AS SELECT id FROM range(5)")     // v0: 0..4
+    sql.exec("INSERT INTO t SELECT id FROM range(5, 10)")     // v1: 0..9
+    sql.exec("DELETE FROM t WHERE id = 0")                    // v2: 1..9
+    def n(q: String): Long = sql.exec(q).as[Long].head()
+    assert(n("SELECT count(*) AS n FROM t VERSION AS OF 0") == 5L)
+    assert(n("SELECT count(*) AS n FROM t VERSION AS OF 1") == 10L)
+    assert(n("SELECT count(*) AS n FROM t") == 9L)
+    // historical and current snapshots compose in one statement (the rows
+    // deleted since v1), with a table alias after the clause
+    val gone = sql.exec(
+      "SELECT a.id FROM t VERSION AS OF 1 a LEFT ANTI JOIN t b ON a.id = b.id")
+      .as[Long].collect().toSeq
+    assert(gone == Seq(0L))
+    // a non-managed name is untouched (plain Spark error, not a rewrite)
+    intercept[Exception](sql.exec("SELECT * FROM nosuch VERSION AS OF 0"))
+  }
+
   test("SEARCH wildcard + FACET: prefix expansion and match-set counts") {
     val sql = fresh("wfacet")
     val docs = (0 until 100).map(i => graft.corpus.CorpusGen.genFile(i.toLong, 9L))
@@ -272,6 +291,11 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(viaStar == viaOr && viaStar.map(_._2).toSet == Set("pa", "pb"))
     // malformed wildcards are loud, not silently mis-scored
     intercept[IllegalArgumentException](sql.exec("SEARCH wix 'hash jo*' TOP 5"))
+    // operators with WHERE/FACET are rejected, never silently stripped
+    intercept[IllegalArgumentException](
+      sql.exec("SEARCH wix '+hash -join' WHERE lang = 'scala' TOP 5"))
+    intercept[IllegalArgumentException](
+      sql.exec("SEARCH wix 'wld_*' FACET lang"))
 
     // FACET: counts of the FULL match set by table attribute, twin-checked
     // against direct tokenization of the current table state
