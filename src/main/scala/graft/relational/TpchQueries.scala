@@ -467,6 +467,41 @@ object TpchQueries {
         .orderBy(col("_change_type"), col("o_orderkey"))
     }),
 
+    // --- the q90 multi-table catalog transaction driven purely via SQL:
+    //     BEGIN CATALOG stages DML on two tables, an aborted attempt must
+    //     leave both untouched, the committed one lands under ONE catalog
+    //     flip — same oracle as q90
+    "q112_sql_catalog_tx" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft-dml-" +
+        d.replaceAll("[^a-zA-Z0-9]", "_") + "-q112"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val cat = new graft.sources.Catalog(s, root)
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      o.createOrReplaceTempView("orders_q112")
+      cat.tables.create("accts", o.filter(col("o_orderkey") < 500))
+      cat.tables.create("audit", s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new org.apache.spark.sql.types.StructType()
+          .add("o_orderkey", "long").add("note", "string")))
+      cat.register("accts"); cat.register("audit")
+      val door = new graft.sources.GraftSql(s, cat)
+      door.exec("BEGIN CATALOG")
+      door.exec("UPDATE accts SET o_totalprice = 0.0 WHERE o_orderkey < 100")
+      door.exec("INSERT INTO audit SELECT o_orderkey, 'never' AS note " +
+        "FROM orders_q112 WHERE o_orderkey < 100")
+      door.exec("ROLLBACK")
+      door.exec("BEGIN CATALOG")
+      door.exec("UPDATE accts SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_orderkey < 100")
+      door.exec("INSERT INTO audit SELECT o_orderkey, 'doubled' AS note " +
+        "FROM orders_q112 WHERE o_orderkey < 100")
+      door.exec("COMMIT")
+      cat.read("accts").join(cat.read("audit"), Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          coalesce(col("note"), lit("-")).as("note"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // --- the q67 time-travel read through the SQL session: `t VERSION AS
     //     OF 0` (Delta's syntax) must see the pre-DELETE snapshot while
     //     the bare name sees the current one, in ONE statement
@@ -1590,6 +1625,14 @@ object TpchQueries {
         |LEFT JOIN wpay ON wpay.w = g.w
         |ORDER BY g.w, g.d""".stripMargin,
     "q90_catalog_tx" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey < 100 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  CASE WHEN o_orderkey < 100 THEN 'doubled' ELSE '-' END AS note
+        |FROM orders WHERE o_orderkey < 500
+        |ORDER BY o_orderkey""".stripMargin,
+    // the identical end state, reached through BEGIN CATALOG … COMMIT
+    "q112_sql_catalog_tx" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey < 100 THEN o_totalprice * 2
         |       ELSE o_totalprice END AS o_totalprice,

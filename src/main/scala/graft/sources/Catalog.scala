@@ -186,6 +186,9 @@ final class Catalog(spark: SparkSession, root: String, io: TableIO) {
     })
 
     def rollback(): Nothing = throw new TableOps.TransactionAborted("catalog")
+
+    /** Tables with staged work, in first-touch order. */
+    def stagedTables: Seq[String] = txs.keys.toSeq
   }
 
   /** Run `body` as ONE atomic multi-table transaction; returns the new
@@ -198,10 +201,25 @@ final class Catalog(spark: SparkSession, root: String, io: TableIO) {
     * no longer fail short of a crash, and a crash from there is rolled
     * FORWARD by recover() from the intent's redo content. */
   def tx(body: MultiTx => Unit): Long = {
-    val cv0 = currentCatalogVersion
-    require(cv0 >= 0, s"catalog is empty under $root — register tables first")
-    val t = new MultiTx()
+    val t = beginMulti()
     body(t)
+    commitMulti(t)
+  }
+
+  /** Session-style begin (the SQL front door's `BEGIN CATALOG`): stage
+    * per-table work on the returned handle, then [[commitMulti]] — the
+    * exact commit path [[tx]] uses. An abandoned handle commits nothing
+    * (staged files are vacuumable orphans). */
+  def beginMulti(): MultiTx = {
+    require(currentCatalogVersion >= 0,
+      s"catalog is empty under $root — register tables first")
+    new MultiTx()
+  }
+
+  /** Commit a [[beginMulti]] handle: intent → claims → publishes → one
+    * catalog flip (the [[tx]] protocol, steps 1-5). */
+  def commitMulti(t: MultiTx): Long = {
+    val cv0 = currentCatalogVersion
     require(t.txs.nonEmpty, "transaction touched no tables")
     val txnId = java.util.UUID.randomUUID.toString
     // stamp the txn identity into every staged manifest BEFORE serializing:

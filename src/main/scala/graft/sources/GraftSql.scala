@@ -44,7 +44,7 @@ import org.apache.spark.sql.functions._
   *   SEARCH idx PHRASE 'text' [TOP k]   (needs WITH POSITIONS)
   *   SEARCH idx 'text' WHERE <pred> [TOP k]   (attribute-filtered)
   *   SEARCH idx 'text' FACET col        (full-match-set counts)
-  *   BEGIN | COMMIT | ROLLBACK
+  *   BEGIN | BEGIN CATALOG | COMMIT | ROLLBACK
   *   <select>  (managed tables referenced by name resolve to their
   *              current snapshot; inside a transaction, to its
   *              read-your-writes state; `t VERSION AS OF n` reads the
@@ -53,9 +53,14 @@ import org.apache.spark.sql.functions._
   * Transactions are the single-table TableOps.tx surface (the reference's
   * Begin/Commit/Abort): BEGIN opens a lazy transaction bound to the first
   * table a DML statement touches; COMMIT publishes ONE version; ROLLBACK
-  * (or a failed statement) discards the staged state. Cross-table
-  * atomicity stays with Catalog.tx — a SQL session binds to one table per
-  * transaction and says so loudly otherwise.
+  * (or a failed statement) discards the staged state. A CATALOG-backed
+  * session (constructed with a [[Catalog]]) additionally supports
+  * `BEGIN CATALOG`: DML may touch ANY registered table, reads follow the
+  * per-table staged state, and COMMIT runs the full multi-table protocol
+  * (intent → claims → publishes → ONE catalog flip) — the reference's
+  * one-timestamp-spans-every-table transaction model, SQL-reachable.
+  * Without a catalog, a plain BEGIN stays bound to one table and says so
+  * loudly on a second.
   *
   * Functions are Spark's native SQL UDFs with the definition PERSISTED in
   * the table store (the PL/pgSQL CREATE FUNCTION role — embryonic in the
@@ -77,12 +82,39 @@ import org.apache.spark.sql.functions._
   * commit (and every COMMIT of a bound transaction) synchronously
   * refreshes the table's indexes BEFORE triggers fire, so SEARCH — and any
   * trigger statement — always reads the just-committed snapshot. */
-final class GraftSql(spark: SparkSession, val ops: TableOps) {
+final class GraftSql(spark: SparkSession, val ops: TableOps,
+    catalog: Option[Catalog] = None) {
+
+  // the catalog's store and this session's must be the SAME instance: a
+  // multi-table transaction's staged handles are the store's Transaction
+  // objects, and two stores over one root would race their caches
+  require(catalog.forall(_.tables eq ops),
+    "GraftSql catalog must wrap the session's own TableOps instance")
+
+  /** A catalog-backed SQL session (`BEGIN CATALOG` enabled). */
+  def this(spark: SparkSession, catalog: Catalog) =
+    this(spark, catalog.tables, Some(catalog))
 
   /** (table, staged transaction) while inside BEGIN…COMMIT. */
   private var active: Option[(String, ops.Transaction)] = None
 
-  def inTransaction: Boolean = active.isDefined
+  /** Stable path for the catalog's inner types (null when the session has
+    * no catalog — only ever dereferenced behind a BEGIN CATALOG guard). */
+  private val cat: Catalog = catalog.orNull
+
+  /** The open multi-table (catalog) transaction, if any — per-table
+    * staging handles live inside it, keyed by table. */
+  private var activeMulti: Option[cat.MultiTx] = None
+
+  def inTransaction: Boolean = active.isDefined || activeMulti.isDefined
+
+  /** The multi-tx staging handle for `table` (typed to THIS session's
+    * store — sound because the constructor pins `catalog.tables eq ops`). */
+  private def multiOn(table: String): ops.Transaction =
+    activeMulti.get.on(table).asInstanceOf[ops.Transaction]
+
+  private def multiTables: Seq[String] =
+    activeMulti.get.stagedTables
 
   private val CreateTableAs =
     """(?is)^\s*CREATE\s+TABLE\s+(\w+)\s+AS\s+(.*)$""".r
@@ -137,6 +169,7 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
   private val ChangesStmt =
     """(?is)^\s*CHANGES\s+(\w+)\s+FROM\s+(\d+)\s+TO\s+(\d+)\s*$""".r
   private val Begin = """(?is)^\s*BEGIN\s*$""".r
+  private val BeginCatalog = """(?is)^\s*BEGIN\s+CATALOG\s*$""".r
   private val Commit = """(?is)^\s*COMMIT\s*$""".r
   private val Rollback = """(?is)^\s*ROLLBACK\s*$""".r
 
@@ -144,10 +177,26 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
     * one-row (statement, table, version) acknowledgment (version -1 while
     * the effect is staged inside an open transaction). */
   def exec(sql: String): DataFrame = sql match {
+    case BeginCatalog() => // before Begin: both start with BEGIN
+      require(!inTransaction, "already in a transaction")
+      if (cat == null) throw new IllegalStateException(
+        "BEGIN CATALOG needs a catalog-backed session — construct " +
+          "GraftSql with a Catalog")
+      activeMulti = Some(cat.beginMulti())
+      ack("BEGIN CATALOG", "", -1L)
     case Begin() =>
-      require(active.isEmpty, "already in a transaction")
+      require(!inTransaction, "already in a transaction")
       active = Some((null, null)) // bound lazily by the first DML statement
       ack("BEGIN", "", -1L)
+    case Commit() if activeMulti.isDefined =>
+      val mtx = activeMulti.get
+      val tables = multiTables
+      activeMulti = None
+      val cv =
+        if (tables.isEmpty) -1L // empty transaction: nothing staged
+        else cat.commitMulti(mtx)
+      tables.foreach(refreshSearchIndexes)
+      ack("COMMIT", tables.mkString(","), cv)
     case Commit() =>
       val (table, tx) = activeTx("COMMIT")
       active = None
@@ -155,6 +204,9 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
         else ops.commitStaged(table, tx)
       if (table != null) refreshSearchIndexes(table)
       ack("COMMIT", Option(table).getOrElse(""), v)
+    case Rollback() if activeMulti.isDefined =>
+      activeMulti = None // staged files become vacuumable orphans
+      ack("ROLLBACK", "", -1L)
     case Rollback() =>
       activeTx("ROLLBACK")
       active = None // staged files become vacuumable orphans
@@ -308,7 +360,7 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
     """(?i)^(MIN|MAX)\s*\(\s*(\w+)\s*\)(?:\s+AS\s+(\w+))?$""".r
 
   private def statsOnlyAgg(select: String): Option[DataFrame] = {
-    if (active.isDefined) return None // read-your-writes state isn't on disk
+    if (inTransaction) return None // read-your-writes state isn't on disk
     val (items, table) = select match {
       case AggOverTable(list, t) if ops.listTables().contains(t) =>
         (splitTopLevel(list), t)
@@ -342,7 +394,7 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
     active.getOrElse(throw new IllegalStateException(s"$what outside a transaction"))
 
   private def noTx(what: String): Unit =
-    require(active.isEmpty, s"$what is not allowed inside a transaction")
+    require(!inTransaction, s"$what is not allowed inside a transaction")
 
   /** Route a DML statement: staged into the open transaction (bound to its
     * first table, triggers deferred out — declared boundary) or committed
@@ -350,7 +402,12 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
   private def dml(table: String, stmt: String,
       staged: ops.Transaction => Unit, standalone: () => Long,
       transition: () => Option[DataFrame] = () => None): DataFrame =
-    active match {
+    if (activeMulti.isDefined) {
+      // catalog transaction: any registered table may be touched; the
+      // handle is opened on first touch and commits under ONE catalog flip
+      staged(multiOn(table))
+      ack(stmt, table, -1L)
+    } else active match {
       case Some((bound, tx0)) =>
         val tx = if (bound == null) {
           val t = ops.begin(table)
@@ -563,9 +620,13 @@ final class GraftSql(spark: SparkSession, val ops: TableOps) {
       }
     }
     referencedManagedTables(sql2).foreach { t =>
-      val df = active match {
-        case Some((bound, tx)) if bound == t => tx.read()
-        case _ => ops.read(t)
+      val df = activeMulti match {
+        case Some(mtx) if mtx.stagedTables.contains(t) =>
+          multiOn(t).read() // catalog-tx read-your-writes
+        case _ => active match {
+          case Some((bound, tx)) if bound == t => tx.read()
+          case _ => ops.read(t)
+        }
       }
       df.createOrReplaceTempView(t)
     }

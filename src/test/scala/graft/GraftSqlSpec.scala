@@ -217,6 +217,52 @@ class GraftSqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](sql.exec("SEARCH dix 'x' TOP 5"))
   }
 
+  test("BEGIN CATALOG: multi-table SQL transaction under one catalog flip") {
+    import graft.sources.{Catalog, GraftSql}
+    val root = TestSpark.tmpDir("graft-sqlcat")
+    val cat = new Catalog(spark, root)
+    cat.tables.create("a", Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal"))
+    cat.tables.create("b", Seq((0L, "seed")).toDF("id", "note"))
+    cat.register("a"); cat.register("b")
+    val sql = new GraftSql(spark, cat)
+
+    // plain BEGIN still binds to ONE table and says so
+    sql.exec("BEGIN")
+    sql.exec("UPDATE a SET bal = 11.0 WHERE id = 1")
+    intercept[IllegalArgumentException](
+      sql.exec("INSERT INTO b VALUES (9, 'x')"))
+    sql.exec("ROLLBACK")
+
+    // catalog tx: stage DML on BOTH tables, read-your-writes pre-commit
+    val cv0 = cat.currentCatalogVersion
+    sql.exec("BEGIN CATALOG")
+    sql.exec("UPDATE a SET bal = 99.0 WHERE id = 1")
+    sql.exec("INSERT INTO b VALUES (1, 'bumped')")
+    assert(sql.exec("SELECT bal FROM a WHERE id = 1").as[Double].head() == 99.0)
+    assert(sql.exec("SELECT count(*) AS n FROM b").as[Long].head() == 2L)
+    // nothing visible outside the session yet
+    assert(cat.read("a").filter($"id" === 1L).select($"bal")
+      .as[Double].head() == 10.0)
+    sql.exec("COMMIT")
+    // ONE catalog flip covers both tables; catalog-resolved reads agree
+    assert(cat.currentCatalogVersion == cv0 + 1)
+    assert(cat.read("a").filter($"id" === 1L).select($"bal")
+      .as[Double].head() == 99.0)
+    assert(cat.read("b").count() == 2L)
+
+    // rollback leaves both tables and the catalog untouched
+    sql.exec("BEGIN CATALOG")
+    sql.exec("DELETE FROM a WHERE id = 2")
+    sql.exec("INSERT INTO b VALUES (7, 'никогда')")
+    sql.exec("ROLLBACK")
+    assert(cat.currentCatalogVersion == cv0 + 1)
+    assert(cat.read("a").count() == 2L && cat.read("b").count() == 2L)
+
+    // a catalog-less session rejects BEGIN CATALOG loudly
+    val plain = new GraftSql(spark, cat.tables)
+    intercept[IllegalStateException](plain.exec("BEGIN CATALOG"))
+  }
+
   test("maintenance DDL: COMPACT / EXPIRE / VACUUM / CHANGES statements") {
     val sql = fresh("maint")
     sql.exec("CREATE TABLE t AS SELECT id, id % 7 AS k FROM range(64)")
