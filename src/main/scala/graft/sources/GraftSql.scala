@@ -31,6 +31,7 @@ import org.apache.spark.sql.functions._
   *   COMPACT TABLE t [SORT BY c1[, c2 …] [ZORDER]]
   *   EXPIRE TABLE t KEEP n | VACUUM TABLE t [MIN AGE ms]
   *   CHANGES t FROM v1 TO v2      (net row diff between snapshots)
+  *   SHOW TABLES | DESCRIBE t | SHOW HISTORY t
   *   CREATE [OR REPLACE] VIEW v AS <select> | DROP VIEW v
   *   CREATE [OR REPLACE] FUNCTION f(params) RETURNS type RETURN <expr>
   *   DROP FUNCTION f
@@ -168,6 +169,9 @@ final class GraftSql(spark: SparkSession, val ops: TableOps,
     """(?is)^\s*VACUUM\s+TABLE\s+(\w+)(?:\s+MIN\s+AGE\s+(\d+))?\s*$""".r
   private val ChangesStmt =
     """(?is)^\s*CHANGES\s+(\w+)\s+FROM\s+(\d+)\s+TO\s+(\d+)\s*$""".r
+  private val ShowTables = """(?is)^\s*SHOW\s+TABLES\s*$""".r
+  private val Describe = """(?is)^\s*DESCRIBE\s+(\w+)\s*$""".r
+  private val ShowHistory = """(?is)^\s*SHOW\s+HISTORY\s+(\w+)\s*$""".r
   private val Begin = """(?is)^\s*BEGIN\s*$""".r
   private val BeginCatalog = """(?is)^\s*BEGIN\s+CATALOG\s*$""".r
   private val Commit = """(?is)^\s*COMMIT\s*$""".r
@@ -294,6 +298,27 @@ final class GraftSql(spark: SparkSession, val ops: TableOps,
     case ChangesStmt(table, fromV, toV) =>
       // read-only over committed snapshots — legal inside a transaction too
       ops.changes(table, fromV.toLong, toV.toLong)
+    case ShowTables() => {
+      import spark.implicits._
+      ops.listTables().sorted
+        .map(t => (t, ops.currentVersion(t)))
+        .toDF("table", "version")
+    }
+    case Describe(table) => {
+      import spark.implicits._
+      ops.read(table).schema.fields.toSeq
+        .map(f => (f.name, f.dataType.simpleString))
+        .toDF("col_name", "data_type")
+    }
+    case ShowHistory(table) => {
+      import spark.implicits._
+      val cur = ops.currentVersion(table)
+      require(cur >= 0, s"table $table does not exist")
+      // versions that survived expire(): a manifest on disk = readable
+      (0L to cur).filter(v => ops.manifestExistsAt(table, v))
+        .map(v => (v, ops.dataFiles(table, v).size.toLong))
+        .toDF("version", "data_files")
+    }
     case CreateView(replace, name, select) =>
       val table = referencedManagedTables(select).headOption.getOrElse(
         throw new IllegalArgumentException(

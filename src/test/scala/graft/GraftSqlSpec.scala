@@ -298,6 +298,16 @@ class GraftSqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](sql.exec("COMPACT TABLE t"))
     intercept[IllegalArgumentException](sql.exec("EXPIRE TABLE t KEEP 1"))
     sql.exec("ROLLBACK")
+
+    // introspection: SHOW TABLES / DESCRIBE / SHOW HISTORY
+    val tabs = sql.exec("SHOW TABLES").as[(String, Long)].collect().toMap
+    assert(tabs.contains("t") && tabs("t") == sql.ops.currentVersion("t"))
+    val desc = sql.exec("DESCRIBE t").as[(String, String)].collect().toSeq
+    assert(desc == Seq(("id", "bigint"), ("k", "bigint")))
+    val hist = sql.exec("SHOW HISTORY t").as[(Long, Long)].collect()
+    // expire KEEP 1 above left exactly the current version readable
+    assert(hist.map(_._1).toSeq == Seq(sql.ops.currentVersion("t")))
+    assert(hist.head._2 >= 1L)
   }
 
   test("VERSION AS OF reads historical snapshots inside plain SELECTs") {
