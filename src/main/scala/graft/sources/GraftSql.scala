@@ -217,6 +217,11 @@ final class GraftSql(spark: SparkSession, val ops: TableOps,
       ack("ROLLBACK", "", -1L)
 
     case CreateTableAs(table, select) =>
+      // catalog-object DDL commits immediately at store level — allowing
+      // it mid-transaction would silently escape the transaction's
+      // atomicity, so it is rejected instead (ALTER is the one DDL the
+      // staging machinery makes genuinely transactional)
+      noTx("CREATE TABLE")
       ack("CREATE TABLE", table, ops.create(table, runSelect(select)))
     case InsertSelect(table, select) =>
       // SQL INSERT matches the select list to the table POSITIONALLY.
@@ -320,23 +325,29 @@ final class GraftSql(spark: SparkSession, val ops: TableOps,
         .toDF("version", "data_files")
     }
     case CreateView(replace, name, select) =>
+      noTx("CREATE VIEW") // store-level DDL: immediate, so not in a tx
       val table = referencedManagedTables(select).headOption.getOrElse(
         throw new IllegalArgumentException(
           s"view $name references no managed table"))
       ops.createView(name, table, select, replace = replace != null)
       ack("CREATE VIEW", name, -1L)
     case DropView(name) =>
+      noTx("DROP VIEW")
       ops.dropView(name); ack("DROP VIEW", name, -1L)
     case CreateFunction(replace, name, definition) =>
+      noTx("CREATE FUNCTION")
       ops.createFunction(name, definition, replace = replace != null)
       ack("CREATE FUNCTION", name, -1L)
     case DropFunction(name) =>
+      noTx("DROP FUNCTION")
       ops.dropFunction(name); ack("DROP FUNCTION", name, -1L)
     case CreateTrigger(replace, name, event, table, statement) =>
+      noTx("CREATE TRIGGER")
       ops.createTrigger(name, table, event, statement,
         replace = replace != null)
       ack("CREATE TRIGGER", name, -1L)
     case DropTrigger(name) =>
+      noTx("DROP TRIGGER")
       ops.dropTrigger(name); ack("DROP TRIGGER", name, -1L)
 
     case CreateSearchIndex(name, table, positions) =>

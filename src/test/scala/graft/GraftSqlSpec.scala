@@ -261,6 +261,16 @@ class GraftSqlSpec extends AnyFunSuite {
     // a catalog-less session rejects BEGIN CATALOG loudly
     val plain = new GraftSql(spark, cat.tables)
     intercept[IllegalStateException](plain.exec("BEGIN CATALOG"))
+
+    // immediate (store-level) DDL cannot silently escape a transaction
+    sql.exec("BEGIN")
+    intercept[IllegalArgumentException](
+      sql.exec("CREATE TABLE c AS SELECT 1 AS one"))
+    intercept[IllegalArgumentException](
+      sql.exec("CREATE VIEW v AS SELECT * FROM a"))
+    intercept[IllegalArgumentException](
+      sql.exec("CREATE FUNCTION f(x INT) RETURNS INT RETURN x + 1"))
+    sql.exec("ROLLBACK")
   }
 
   test("maintenance DDL: COMPACT / EXPIRE / VACUUM / CHANGES statements") {
