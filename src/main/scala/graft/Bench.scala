@@ -151,7 +151,8 @@ object Bench {
       "q101_phrase_search", "q102_phrase_maintained", "q103_stats_agg",
       "q104_filtered_search", "q105_stream_search", "q106_changes",
       "q107_prefix_search", "q108_facet_counts", "q109_boolean_search",
-      "q110_sql_changes", "q111_sql_time_travel", "q112_sql_catalog_tx")
+      "q110_sql_changes", "q111_sql_time_travel", "q112_sql_catalog_tx",
+      "q113_boolean_filtered")
     val extras = newOps.map { name =>
       val fn = SparkEntry.queries(name)
       name -> (1 to 2).map(_ => secs { fn(spark, sfDir).count() }).min

@@ -170,6 +170,21 @@ object IndexQueries {
     adaptiveTopDf(s, cfg, k)(fetch => searcher.searchBoolean(query, fetch))
   }
 
+  /** Boolean retrieval COMPOSED with the attribute filter: membership =
+    * boolean structure ∩ allow-set, scores still the unfiltered index's. */
+  def bm25BooleanWhere(s: SparkSession, dir: String, query: String,
+      lang: String, k: Int): DataFrame = {
+    val cfg = indexFor(s, dir)
+    val searcher = searcherFor(s, dir)
+    val allowed = s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("lang") === lang)
+      .select(format_string("%09d", col("doc_id")).as("path"))
+      .join(s.read.parquet(cfg.docsPath), "path")
+      .select(col("docId"))
+    adaptiveTopDf(s, cfg, k)(fetch =>
+      searcher.searchBoolean(query, fetch, allowed))
+  }
+
   /** The positional sidecar for dir's cached index (idempotent — the
     * manifest `positions` record skips a completed build whose fingerprint
     * matches the current content). */
@@ -336,6 +351,10 @@ object IndexQueries {
     //     the present (hash, join) terms; the oracle restricts membership
     //     with IN/NOT IN over its own token table
     "q109_boolean_search" -> ((s, d) => bm25Boolean(s, d, "+hash join -merge", 20)),
+    // --- boolean ∩ attribute filter: same boolean structure, restricted
+    //     to lang='en' docs — scores still the unfiltered index's
+    "q113_boolean_filtered" ->
+      ((s, d) => bm25BooleanWhere(s, d, "+hash join -merge", "en", 20)),
 
     // --- lexicon (df) vs SQL recomputation: top-50 by df
     "q52_index_lexicon" -> ((s, d) => {
@@ -579,6 +598,10 @@ object IndexQueries {
     "q109_boolean_search" -> bm25OracleSql(Seq("hash", "join"), 20,
       allowSql = "SELECT doc_id FROM tf WHERE term = 'hash' AND doc_id " +
         "NOT IN (SELECT doc_id FROM tf WHERE term = 'merge')"),
+    "q113_boolean_filtered" -> bm25OracleSql(Seq("hash", "join"), 20,
+      allowSql = "SELECT doc_id FROM tf WHERE term = 'hash' AND doc_id " +
+        "NOT IN (SELECT doc_id FROM tf WHERE term = 'merge') AND doc_id " +
+        "IN (SELECT doc_id FROM documents WHERE lang = 'en')"),
     "q108_facet_counts" ->
       """WITH toks AS (
         |  SELECT doc_id, t AS term FROM (

@@ -482,8 +482,13 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
     * like [[searchWhere]]'s contract). Exclusions/conjunction checks run
     * as semi/anti joins on the terms' own postings — fully distributed,
     * no driver-side doc sets. A must term with no live postings, or a term
-    * required AND forbidden, yields the empty result. */
-  def searchBoolean(query: String, k: Int): Array[ScoredDoc] = {
+    * required AND forbidden, yields the empty result.
+    *
+    * `allowedDocs` (optional, first column = docIds) composes the
+    * [[searchWhere]] attribute filter: membership is further restricted,
+    * scores still untouched. */
+  def searchBoolean(query: String, k: Int,
+      allowedDocs: DataFrame = null): Array[ScoredDoc] = {
     val (must, should, not) = Searcher.parseBoolean(query, cfg.unicodeFold)
     if (must.exists(not.contains)) return Array.empty
     val lexM = lexLive(must)
@@ -503,6 +508,11 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
       val bad = livePairs(lexN.values.map(_._1).toArray)
         .select($"docId").distinct()
       df = df.join(bad, Seq("docId"), "left_anti")
+    }
+    if (allowedDocs != null) {
+      val idCol = allowedDocs.columns.head
+      df = df.join(allowedDocs.select(col(idCol).cast("long").as("docId"))
+        .distinct(), Seq("docId"), "left_semi")
     }
     df.as[ScoredDoc].orderBy($"score".desc, $"docId".asc).limit(k).collect()
   }

@@ -43,7 +43,9 @@ import org.apache.spark.sql.functions._
   *   SEARCH idx 'pre*' [TOP k]          (wildcard: lexicon expansion)
   *   SEARCH idx '+must term -not' [TOP k]   (boolean retrieval)
   *   SEARCH idx PHRASE 'text' [TOP k]   (needs WITH POSITIONS)
-  *   SEARCH idx 'text' WHERE <pred> [TOP k]   (attribute-filtered)
+  *   SEARCH idx 'text' WHERE <pred> [TOP k]   (attribute-filtered;
+  *                                  composes with 'pre*' and +/- forms)
+  *   COMPACT SEARCH INDEX idx           (reclaim tombstones)
   *   SEARCH idx 'text' FACET col        (full-match-set counts)
   *   BEGIN | BEGIN CATALOG | COMMIT | ROLLBACK
   *   <select>  (managed tables referenced by name resolve to their
@@ -153,10 +155,14 @@ final class GraftSql(spark: SparkSession, val ops: TableOps,
     """(?is)^\s*DROP\s+SEARCH\s+INDEX\s+(\w+)\s*$""".r
   private val RefreshSearchIndex =
     """(?is)^\s*REFRESH\s+SEARCH\s+INDEX\s+(\w+)\s*$""".r
+  private val CompactSearchIndex =
+    """(?is)^\s*COMPACT\s+SEARCH\s+INDEX\s+(\w+)\s*$""".r
   private val Search =
     """(?is)^\s*SEARCH\s+(\w+)\s+'([^']*)'(?:\s+TOP\s+(\d+))?\s*$""".r
   private val SearchPhrase =
     """(?is)^\s*SEARCH\s+(\w+)\s+PHRASE\s+'([^']*)'(?:\s+TOP\s+(\d+))?\s*$""".r
+  private val SearchPhraseWhere =
+    """(?is)^\s*SEARCH\s+\w+\s+PHRASE\s+'[^']*'\s+WHERE\s+.*$""".r
   private val SearchWhere =
     """(?is)^\s*SEARCH\s+(\w+)\s+'([^']*)'\s+WHERE\s+(.+?)(?:\s+TOP\s+(\d+))?\s*$""".r
   private val SearchFacet =
@@ -365,8 +371,25 @@ final class GraftSql(spark: SparkSession, val ops: TableOps,
       val (table, dir) = ops.searchIndexMeta(name)
       indexerFor(name, dir).refresh(table)
       ack("REFRESH SEARCH INDEX", name, -1L)
+    case CompactSearchIndex(name) =>
+      // reclaim tombstones: staged rebuild of the live snapshot + swap
+      // (TableIndexer.compact — crash-recovered, results bit-identical)
+      noTx("COMPACT SEARCH INDEX")
+      val (table, dir) = ops.searchIndexMeta(name)
+      indexerFor(name, dir).compact(table)
+      // the rebuild renumbers docIds at an UNCHANGED synced version, so
+      // the version-keyed searcher cache must be dropped explicitly —
+      // a stale searcher would join old docIds against the new docs table
+      searchers.remove(name).foreach(_._2.close())
+      ack("COMPACT SEARCH INDEX", name, -1L)
     case SearchPhrase(name, text, k) => // before Search: both begin SEARCH
       searchPhrase(name, text, if (k == null) 10 else k.toInt)
+    case SearchPhraseWhere() =>
+      // declared boundary, rejected here so it cannot fall through to the
+      // SELECT path and die with an unrelated parse error
+      throw new IllegalArgumentException(
+        "PHRASE does not compose with WHERE — filter the phrase results " +
+          "by joining SEARCH output to the table, or use term search")
     case SearchFacet(name, text, facetCol) =>
       searchFacet(name, text, facetCol)
     case SearchWhere(name, text, pred, k) =>
@@ -557,7 +580,6 @@ final class GraftSql(spark: SparkSession, val ops: TableOps,
     * membership is restricted ([[graft.query.Searcher.searchWhere]]). */
   def searchWhere(name: String, query: String, pred: String,
       k: Int): DataFrame = {
-    GraftSql.requirePlainQuery(query, "WHERE")
     val (ti, searcher) = searcherFor(name)
     val (table, _) = ops.searchIndexMeta(name)
     val allowed = ops.read(table).filter(pred)
@@ -565,7 +587,22 @@ final class GraftSql(spark: SparkSession, val ops: TableOps,
       .join(spark.read.parquet(ti.cfg.docsPath),
         Seq("repo", "path", "commit"))
       .select(col("docId"))
-    serveTop(name, searcher.searchWhere(query, k, allowed), k)
+    // wildcard and boolean forms compose with the filter: the expansion /
+    // membership joins restrict docs, the allow-set restricts further,
+    // scores stay those of the unfiltered index in every combination
+    val top = GraftSql.wildcardPrefix(query) match {
+      case Some(p) =>
+        val terms = searcher.expandPrefix(p)
+        if (terms.isEmpty) Array.empty[graft.model.ScoredDoc]
+        else searcher.searchWhere(terms.mkString(" "), k, allowed)
+      case None =>
+        require(!query.contains("*"),
+          s"wildcard must be a single trailing-'*' token, got: '$query'")
+        if (GraftSql.hasBooleanOps(query))
+          searcher.searchBoolean(query, k, allowed)
+        else searcher.searchWhere(query, k, allowed)
+    }
+    serveTop(name, top, k)
   }
 
   private def searcherFor(name: String)
@@ -725,9 +762,10 @@ object GraftSql {
       w.length > 1 && (w.startsWith("+") || w.startsWith("-")))
 
   /** Reject wildcard/boolean operators where only plain term queries are
-    * implemented (WHERE filters, FACET): the tokenizer would silently
-    * strip `*`/`+`/`-` and score the residue as ordinary terms — a wrong
-    * answer is worse than a loud unsupported-combination error. */
+    * implemented (FACET): the tokenizer would silently strip `*`/`+`/`-`
+    * and count the residue's match set — a wrong answer is worse than a
+    * loud unsupported-combination error. (WHERE composes with both forms
+    * and does not use this.) */
   private[sources] def requirePlainQuery(query: String, ctx: String): Unit =
     require(wildcardPrefix(query).isEmpty && !hasBooleanOps(query) &&
         !query.contains("*"),

@@ -357,11 +357,31 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(viaStar == viaOr && viaStar.map(_._2).toSet == Set("pa", "pb"))
     // malformed wildcards are loud, not silently mis-scored
     intercept[IllegalArgumentException](sql.exec("SEARCH wix 'hash jo*' TOP 5"))
-    // operators with WHERE/FACET are rejected, never silently stripped
-    intercept[IllegalArgumentException](
-      sql.exec("SEARCH wix '+hash -join' WHERE lang = 'scala' TOP 5"))
+    // wildcard/boolean compose with WHERE: membership restricted by the
+    // predicate, scores unchanged from the unfiltered form
+    val starAll = sql.exec("SEARCH wix 'wld_*' TOP 5")
+      .as[(String, String, String, Double)].collect()
+      .map(r => r._2 -> r._4).toMap
+    val starJava = sql.exec("SEARCH wix 'wld_*' WHERE lang = 'java' TOP 5")
+      .as[(String, String, String, Double)].collect().toSeq
+    assert(starJava.map(_._2) == Seq("pb") &&
+      starJava.head._4 == starAll("pb"))
+    assert(sql.exec("SEARCH wix '+wld_alpha' WHERE lang = 'java' TOP 5")
+      .collect().isEmpty) // the must term lives only in a scala doc
+    val boolScala = sql.exec(
+      "SEARCH wix '+wld_alpha' WHERE lang = 'scala' TOP 5")
+      .as[(String, String, String, Double)].collect().toSeq
+    assert(boolScala.map(_._2) == Seq("pa"))
+    // FACET stays plain-terms-only, loudly; PHRASE+WHERE is a declared
+    // boundary with its own error, not a SELECT-path parse failure
     intercept[IllegalArgumentException](
       sql.exec("SEARCH wix 'wld_*' FACET lang"))
+    intercept[IllegalArgumentException](
+      sql.exec("SEARCH wix PHRASE 'wld_alpha body' WHERE lang = 'scala'"))
+    // COMPACT SEARCH INDEX reclaims tombstones, results unchanged
+    sql.exec("COMPACT SEARCH INDEX wix")
+    assert(sql.exec("SEARCH wix 'wld_*' WHERE lang = 'java' TOP 5")
+      .as[(String, String, String, Double)].collect().toSeq == starJava)
 
     // FACET: counts of the FULL match set by table attribute, twin-checked
     // against direct tokenization of the current table state
