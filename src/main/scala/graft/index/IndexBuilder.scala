@@ -53,7 +53,18 @@ final case class IndexConfig(
     // full lowercase — identical on pure-ASCII input, where the default
     // ASCII scan stays the hot path. Index-wide: build, query parsing, and
     // the sequential oracle must agree on it.
-    unicodeFold: Boolean = false) {
+    unicodeFold: Boolean = false,
+    // Scale-adaptive stage sizing (optimization guide §2.2/§6.1): stage
+    // partition counts derive from DATA size at these per-partition byte
+    // targets — capped by the core-derived buildPartitions values, so a
+    // big corpus keeps the core-proportional layout while a small one
+    // stops paying hundreds of near-empty tasks and tiny files per stage.
+    // rangeTargetBytes sizes the keymap/vocab/lexicon range exchanges;
+    // encodeTargetBytes sizes the postings-encode shuffle in PACKED bytes
+    // (~5 B/posting — 6 MB keeps the recorded 60k-corpus layout near its
+    // historical partition count). Deployment knobs, not per-query tuning.
+    rangeTargetBytes: Long = 32L * 1024 * 1024,
+    encodeTargetBytes: Long = 6L * 1024 * 1024) {
   def keymapPath: String = s"$indexDir/keymap"
   def forwardPath: String = s"$indexDir/forward"
   def vocabPath: String = s"$indexDir/vocab"
@@ -146,6 +157,27 @@ object IndexBuilder {
     * the forward index — no persist of the tokenized corpus.) */
   val FormatVersion = 5
 
+  /** Scale-adaptive partition count (optimization guide §2.2/§6.1): derive
+    * the partition count from the DATA size — `ceil(bytes / targetBytes)`,
+    * floored at 1 — instead of a constant tuned to the core count, capped
+    * at `cap` (the caller's core-derived value) so a big corpus keeps the
+    * core-proportional layout the scaling gate measures while a small one
+    * stops paying hundreds of empty tasks + tiny files per stage. An
+    * unknown size estimate (stats missing ⇒ Long.MaxValue) degrades to
+    * `cap`, i.e. exactly the old behavior. */
+  @inline private[graft] def sizedParts(bytes: Long, targetBytes: Long,
+      cap: Int): Int = {
+    val derived = (bytes / targetBytes) + (if (bytes % targetBytes > 0) 1 else 0)
+    math.max(1L, math.min(cap.toLong, derived)).toInt
+  }
+
+  /** Plan-estimated size of a dataset's source (parquet file bytes for a
+    * table scan); Long.MaxValue when the estimate is unusable. */
+  private def planBytes(df: org.apache.spark.sql.DataFrame): Long = {
+    val s = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (s.isValidLong && s.toLong > 0L) s.toLong else Long.MaxValue
+  }
+
   @inline def shardOf(docId: Long, numDocs: Long, numShards: Int): Int = {
     val s = ((docId * numShards) / math.max(numDocs, 1L)).toInt
     if (s >= numShards) numShards - 1 else if (s < 0) 0 else s
@@ -177,38 +209,59 @@ object IndexBuilder {
     // sampling job over it is essentially free. docId = dense lexicographic
     // rank via the same offset-rank assignment as termIds (VERDICT r1 fix
     // #5: no persist of the tokenized corpus, no re-tokenization).
+    // stage partition sizing derives from the corpus' estimated bytes
+    // (scale-adaptive — see sizedParts): a ~MB corpus runs 1-partition
+    // range stages instead of `parts`-wide ones
+    val corpusBytes = planBytes(corpus.toDF())
+    val rangeParts = sizedParts(corpusBytes, cfg.rangeTargetBytes, parts)
     if (!manifest.isComplete("keymap", fp)) {
       val t0 = System.nanoTime()
       // single materialization (VERDICT r2 fix #5): persist the sorted key
       // set, count per partition with a tiny job, write final docIds
       // directly — no staged parquet, no full rewrite
-      val sortedKeys = corpus.toDF()
+      val sorted0 = corpus.toDF()
         .select($"repo", $"path", $"commit")
-        .repartitionByRange(parts, $"repo", $"path", $"commit")
+        .repartitionByRange(rangeParts, $"repo", $"path", $"commit")
         .sortWithinPartitions($"repo", $"path", $"commit")
         .as[(String, String, String)]
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val acc = try {
-        val counts = sortedKeys.mapPartitions { it =>
-          Iterator((TaskContext.getPartitionId(), it.size.toLong))
-        }.collect().sortBy(_._1)
-        val offArr = new Array[Long](counts.length)
-        var n0 = 0L
-        counts.foreach { case (pid, n) => offArr(pid) = n0; n0 += n }
-        val offB = spark.sparkContext.broadcast(offArr)
-        sortedKeys.mapPartitions { it =>
-          val off = offB.value(TaskContext.getPartitionId())
+      val acc = if (rangeParts == 1) {
+        // single range partition: no sampling job runs and the offsets
+        // array is trivially [0], so the persist + per-partition-counts
+        // machinery is pure overhead — write in ONE job and take the row
+        // count from the written parquet metadata
+        sorted0.mapPartitions { it =>
           var i = -1L
           it.map { case (repo, path, commit) =>
-            i += 1; (off + i, repo, path, commit)
+            i += 1; (i, repo, path, commit)
           }
         }.toDF("docId", "repo", "path", "commit")
           .write.mode("overwrite").parquet(cfg.keymapPath)
-        n0
-      } finally sortedKeys.unpersist()
+        spark.read.parquet(cfg.keymapPath).count()
+      } else {
+        val sortedKeys = sorted0
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val counts = sortedKeys.mapPartitions { it =>
+            Iterator((TaskContext.getPartitionId(), it.size.toLong))
+          }.collect().sortBy(_._1)
+          val offArr = new Array[Long](counts.length)
+          var n0 = 0L
+          counts.foreach { case (pid, n) => offArr(pid) = n0; n0 += n }
+          val offB = spark.sparkContext.broadcast(offArr)
+          sortedKeys.mapPartitions { it =>
+            val off = offB.value(TaskContext.getPartitionId())
+            var i = -1L
+            it.map { case (repo, path, commit) =>
+              i += 1; (off + i, repo, path, commit)
+            }
+          }.toDF("docId", "repo", "path", "commit")
+            .write.mode("overwrite").parquet(cfg.keymapPath)
+          n0
+        } finally sortedKeys.unpersist()
+      }
       manifest.commit(StageRecord("keymap", "complete", fp, acc,
         (System.nanoTime() - t0) / 1000000,
-        Map("partitions" -> parts.toString)))
+        Map("partitions" -> rangeParts.toString)))
     }
 
     // ---- stage 1: forward index -------------------------------------------
@@ -288,7 +341,7 @@ object IndexBuilder {
           .select(explode($"terms").as("term"))
           .groupBy($"term").agg(count(lit(1)).as("df"))
           .as[(String, Long)],
-        parts, cfg.vocabPath, baseId = 0L)
+        parts, cfg.vocabPath, baseId = 0L, targetBytes = cfg.rangeTargetBytes)
 
       // Salt the top-df terms above threshold: bounded at maxHeavyTerms
       // (≤4096), so THIS collect is scale-safe by construction. Ties at the
@@ -305,7 +358,7 @@ object IndexBuilder {
       }
 
       val nb = encodePostings(spark, forwardWithIds, heavy, numDocs, avgDl,
-        cfg, parts, metricsAcc, cfg.postingsPath)
+        cfg, parts, totalTokens, metricsAcc, cfg.postingsPath)
       manifest.commit(StageRecord("postings", "complete", fp, nb,
         (System.nanoTime() - t0) / 1000000,
         Map("heavyTerms" -> heavy.size.toString,
@@ -320,7 +373,7 @@ object IndexBuilder {
     if (!manifest.isComplete("lexicon", fp)) {
       val t0 = System.nanoTime()
       val vocabN = writeLexicon(spark, cfg.postingsPath, cfg.vocabPath,
-        cfg.lexiconPath, parts)
+        cfg.lexiconPath, parts, cfg.rangeTargetBytes)
       manifest.commit(StageRecord("lexicon", "complete", fp, vocabN,
         (System.nanoTime() - t0) / 1000000,
         Map("numDocs" -> numDocs.toString, "avgDl" -> avgDl.toString,
@@ -331,7 +384,9 @@ object IndexBuilder {
     val collected = metricsAcc.value
     if (!collected.isEmpty) {
       import scala.jdk.CollectionConverters._
-      spark.createDataset(collected.asScala.toSeq)
+      // driver-local list — one task / one file, not defaultParallelism
+      // tiny files per build
+      spark.createDataset(collected.asScala.toSeq).repartition(1)
         .write.mode("append").parquet(cfg.metricsPath)
     }
 
@@ -356,7 +411,7 @@ object IndexBuilder {
   private def encodePostings(spark: SparkSession,
       forwardDF: org.apache.spark.sql.DataFrame,
       heavy: java.util.HashSet[Integer], numDocs: Long, avgDl: Double,
-      cfg: IndexConfig, parts: Int,
+      cfg: IndexConfig, parts: Int, numTokens: Long,
       metricsAcc: CollectionAccumulator[PartitionMetric],
       outPath: String): Long = {
     import spark.implicits._
@@ -365,6 +420,11 @@ object IndexBuilder {
     val blockSize = cfg.blockSize
     val bm25 = cfg.bm25
     val avgDlV = avgDl
+    // shuffle sizing from the DATA (scale-adaptive, guide §2.2): the
+    // packed postings are ~5 B/posting and one posting per token, so the
+    // exchange moves ~numTokens*5 bytes; cap at the old core-derived 4×
+    // multiplier (finer skew smoothing at cluster scale)
+    val encodeParts = sizedParts(numTokens * 5L, cfg.encodeTargetBytes, parts * 4)
 
     val vocabIds = spark.read.parquet(cfg.vocabPath)
       .select($"termId", $"term")
@@ -410,7 +470,7 @@ object IndexBuilder {
     // reducer sees at most ~df/numShards postings.
     if (!cfg.packRuns) {
       val blocks = salted
-        .repartition(parts * 4, $"termId", $"salt")
+        .repartition(encodeParts, $"termId", $"salt")
         .sortWithinPartitions($"termId", $"salt", $"docId")
         .as[(Int, Int, Long, Int, Int)]
         .mapPartitions { it =>
@@ -431,7 +491,7 @@ object IndexBuilder {
       val unranged = s"$outPath.unranged"
       blocks.write.mode("overwrite").parquet(unranged)
       spark.read.parquet(unranged)
-        .repartitionByRange(parts * 4, $"termId", $"shard", $"blockIdx")
+        .repartitionByRange(encodeParts, $"termId", $"shard", $"blockIdx")
         .sortWithinPartitions($"termId", $"shard", $"blockIdx")
         .write.mode("overwrite").parquet(outPath)
       val hconf = spark.sessionState.newHadoopConf()
@@ -453,15 +513,19 @@ object IndexBuilder {
       // from the one shuffle the encode already needs. blockIdx resets per
       // (termId, salt) group — placement-independent, so the raw-row path
       // above emits bit-identical rows (IndexSpec pins it).
-      val runs = salted
+      // a single-partition range exchange runs no sampling job, so the
+      // packed-run lineage executes exactly once in the write — persisting
+      // it would only add cache churn
+      val runs0 = salted
         .sortWithinPartitions($"termId", $"salt", $"docId")
         .as[(Int, Int, Long, Int, Int)]
         .mapPartitions(it => packRuns(it, RunPackCap))
         .toDF("termId", "salt", "firstDocId", "n", "bytes")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val runs = if (encodeParts == 1) runs0
+        else runs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         runs
-          .repartitionByRange(parts * 4, $"termId", $"salt")
+          .repartitionByRange(encodeParts, $"termId", $"salt")
           .sortWithinPartitions($"termId", $"salt", $"firstDocId")
           .as[(Int, Int, Long, Int, Array[Byte])]
           .mapPartitions { it =>
@@ -533,7 +597,7 @@ object IndexBuilder {
             }
           }
           .write.mode("overwrite").parquet(outPath)
-      } finally runs.unpersist()
+      } finally { if (encodeParts > 1) runs.unpersist() }
     }
     spark.read.parquet(outPath).count()
   }
@@ -654,9 +718,15 @@ object IndexBuilder {
   /** Per-term stats aggregated from block metadata → lexicon parquet,
     * range-partitioned and sorted by termId. Returns the term count. */
   private def writeLexicon(spark: SparkSession, postingsPath: String,
-      vocabPath: String, outPath: String, parts: Int): Long = {
+      vocabPath: String, outPath: String, parts: Int,
+      targetBytes: Long = 32L * 1024 * 1024): Long = {
     import spark.implicits._
     val vocab = spark.read.parquet(vocabPath).select($"termId", $"term")
+    // one lexicon row per vocab term: size the range exchange from the
+    // vocab's real file bytes (scale-adaptive — see sizedParts), capped at
+    // the old core-derived parts/4
+    val lexParts = sizedParts(planBytes(vocab), targetBytes,
+      math.max(parts / 4, 1))
     spark.read.parquet(postingsPath)
       .groupBy($"termId")
       .agg(sum($"count").as("df"), sum($"sumTf").as("cf"),
@@ -664,7 +734,7 @@ object IndexBuilder {
         max($"maxTfNorm").as("maxTfNorm"))
       .join(vocab, "termId") // AQE broadcasts when the vocab is small
       .select($"term", $"termId", $"df", $"cf", $"nBlocks", $"maxTfNorm")
-      .repartitionByRange(math.max(parts / 4, 1), $"termId")
+      .repartitionByRange(lexParts, $"termId")
       .sortWithinPartitions($"termId")
       .write.mode("overwrite").parquet(outPath)
     spark.read.parquet(outPath).count()
@@ -761,10 +831,10 @@ object IndexBuilder {
     }
     val postingsNew = s"${cfg.indexDir}/postings_compact"
     val nb = encodePostings(spark, fw, heavy, st.numDocs, st.avgDl, cfg,
-      parts, metricsAcc, postingsNew)
+      parts, st.totalTokens, metricsAcc, postingsNew)
     val lexiconNew = s"${cfg.indexDir}/lexicon_compact"
     val vocabN = writeLexicon(spark, postingsNew, cfg.vocabPath, lexiconNew,
-      parts)
+      parts, cfg.rangeTargetBytes)
 
     // all three staged dirs are complete and mutually consistent: from here
     // the swap sequence is recoverable step-by-step (records below)
@@ -850,30 +920,56 @@ object IndexBuilder {
     * `outPath` has (termId:int, term, df). Returns the number of terms. */
   private[graft] def writeRanked(spark: SparkSession,
       in: Dataset[(String, Long)], parts: Int,
-      outPath: String, baseId: Long): Long = {
+      outPath: String, baseId: Long,
+      targetBytes: Long = 32L * 1024 * 1024): Long = {
     import spark.implicits._
-    val sorted = in.toDF("term", "df")
-      .repartitionByRange(parts, $"term")
-      .sortWithinPartitions($"term")
-      .as[(String, Long)]
+    // persist the INPUT before the range exchange: repartitionByRange
+    // samples its child, and without this the (term, df) aggregation —
+    // an explode of every token in the corpus plus a shuffle — executed
+    // TWICE per build (once for the sampling job, once for the real
+    // shuffle). The persisted agg also yields the row count that sizes
+    // the range exchange (scale-adaptive — see sizedParts): ~32 B/row.
+    val agg = in.toDF("term", "df")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val counts = sorted.mapPartitions { it =>
-        Iterator((TaskContext.getPartitionId(), it.size.toLong))
-      }.collect().sortBy(_._1)
-      val offArr = new Array[Long](counts.length)
-      var acc = baseId
-      counts.foreach { case (pid, n) => offArr(pid) = acc; acc += n }
-      val total = acc - baseId
-      val offB = spark.sparkContext.broadcast(offArr)
-      sorted.mapPartitions { it =>
-        val off = offB.value(TaskContext.getPartitionId())
-        var i = -1L
-        it.map { case (term, df) => i += 1; ((off + i).toInt, term, df) }
-      }.toDF("termId", "term", "df")
-        .write.mode("overwrite").parquet(outPath)
-      total
-    } finally sorted.unpersist()
+      val nRows = agg.count()
+      val rangeParts = sizedParts(nRows * 32L, targetBytes, parts)
+      val sorted0 = agg
+        .repartitionByRange(rangeParts, $"term")
+        .sortWithinPartitions($"term")
+        .as[(String, Long)]
+      if (rangeParts == 1) {
+        // single range partition: no sampling job, offsets = [baseId] —
+        // skip the second persist and the per-partition-counts job (the
+        // total is the nRows just counted)
+        sorted0.mapPartitions { it =>
+          var i = baseId - 1L
+          it.map { case (term, df) => i += 1; (i.toInt, term, df) }
+        }.toDF("termId", "term", "df")
+          .write.mode("overwrite").parquet(outPath)
+        nRows
+      } else {
+        val sorted = sorted0
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val counts = sorted.mapPartitions { it =>
+            Iterator((TaskContext.getPartitionId(), it.size.toLong))
+          }.collect().sortBy(_._1)
+          val offArr = new Array[Long](counts.length)
+          var acc = baseId
+          counts.foreach { case (pid, n) => offArr(pid) = acc; acc += n }
+          val total = acc - baseId
+          val offB = spark.sparkContext.broadcast(offArr)
+          sorted.mapPartitions { it =>
+            val off = offB.value(TaskContext.getPartitionId())
+            var i = -1L
+            it.map { case (term, df) => i += 1; ((off + i).toInt, term, df) }
+          }.toDF("termId", "term", "df")
+            .write.mode("overwrite").parquet(outPath)
+          total
+        } finally sorted.unpersist()
+      }
+    } finally agg.unpersist()
   }
 
   /** Move every data file from a freshly-written staging dir into `targetDir`
@@ -976,7 +1072,13 @@ object IndexBuilder {
       } else {
         val oldVocab = spark.read.parquet(cfg.vocabPath)
           .select($"termId", $"term", $"df")
-        val oldSize = oldVocab.count()
+        // current vocab size WITHOUT a Spark job where the manifest already
+        // carries it: the lexicon is one row per vocab term (every term has
+        // ≥1 posting block by construction — terms come from forward rows),
+        // and both build and every completed append refresh its record.
+        // Manifest missing/stale (no lexicon record) falls back to a count.
+        val oldSize = records.get("lexicon").map(_.rows)
+          .getOrElse(oldVocab.count())
         val newRanked = s"${cfg.indexDir}/vocab_newterms"
         val parts0 = if (cfg.buildPartitions > 0) cfg.buildPartitions
           else spark.sparkContext.defaultParallelism
@@ -984,7 +1086,8 @@ object IndexBuilder {
           spark.read.parquet(subCfg.vocabPath).select($"term", $"df")
             .join(oldVocab.select($"term"), Seq("term"), "left_anti")
             .select($"term", $"df").as[(String, Long)],
-          parts0, newRanked, baseId = oldSize)
+          parts0, newRanked, baseId = oldSize,
+          targetBytes = cfg.rangeTargetBytes)
         oldVocab.unionByName(spark.read.parquet(newRanked))
           .write.mode("overwrite").parquet(vocabNew)
         org.apache.commons.io.FileUtils.deleteDirectory(
@@ -1051,7 +1154,7 @@ object IndexBuilder {
     val parts = if (cfg.buildPartitions > 0) cfg.buildPartitions
       else spark.sparkContext.defaultParallelism
     val vocabN = writeLexicon(spark, cfg.postingsPath, cfg.vocabPath,
-      cfg.lexiconPath, parts)
+      cfg.lexiconPath, parts, cfg.rangeTargetBytes)
     // ...and again now that writeLexicon's overwrite replaced the lexicon
     // files: the refresh above left any cached lexicon plan as a LAZY
     // entry over the just-deleted old files — re-listing here keeps the

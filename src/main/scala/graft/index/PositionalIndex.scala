@@ -104,8 +104,14 @@ object PositionalIndex {
       return manifest.get("positions").get.rows
 
     val t0 = System.nanoTime()
-    val parts = if (cfg.buildPartitions > 0) cfg.buildPartitions
+    val cap = if (cfg.buildPartitions > 0) cfg.buildPartitions
       else spark.sparkContext.defaultParallelism
+    // scale-adaptive range sizing (IndexBuilder.sizedParts): position rows
+    // are ~4 B/token (VByte deltas + row overhead); the main index is
+    // already built, so its token total is in the manifest
+    val toks = scala.util.Try(IndexBuilder.stats(cfg).totalTokens)
+      .getOrElse(Long.MaxValue / 8)
+    val parts = IndexBuilder.sizedParts(toks * 4L, cfg.rangeTargetBytes, cap)
     positionRows(spark, corpus, cfg, baseDocId = 0L)
       .repartitionByRange(parts, $"termId", $"docId")
       .sortWithinPartitions($"termId", $"docId")
@@ -142,8 +148,16 @@ object PositionalIndex {
     val segIdx = existing.keys.count(_.matches("posseg-\\d+"))
 
     val t0 = System.nanoTime()
-    val parts = if (cfg.buildPartitions > 0) cfg.buildPartitions
+    val cap = if (cfg.buildPartitions > 0) cfg.buildPartitions
       else spark.sparkContext.defaultParallelism
+    // size the segment's range exchange from the batch's estimated bytes
+    // (positions are a fraction of content size; the cap keeps the old
+    // core-derived behavior when the estimate is unusable)
+    val parts = {
+      val s = batch.toDF().queryExecution.optimizedPlan.stats.sizeInBytes
+      val bytes = if (s.isValidLong && s.toLong > 0L) s.toLong else Long.MaxValue
+      IndexBuilder.sizedParts(bytes, cfg.rangeTargetBytes, cap)
+    }
     val stage = s"${cfg.indexDir}/stage_positions_$segIdx"
     positionRows(spark, batch, cfg, baseDocId)
       .repartitionByRange(parts, $"termId", $"docId")

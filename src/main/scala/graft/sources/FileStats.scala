@@ -133,23 +133,52 @@ object StatsPruner {
     }
   }
 
-  private def numericType(dt: DataType): Boolean = dt match {
-    case _: NumericType => true
-    case _ => false
+  /** Digits of an integral type's value range (for decimal-capacity checks). */
+  private def integralDigits(dt: DataType): Option[Int] = dt match {
+    case ByteType => Some(3)
+    case ShortType => Some(5)
+    case IntegerType => Some(10)
+    case LongType => Some(19)
+    case _ => None
   }
+
+  /** Is `cast` injective AND order-preserving from its child's type into
+    * the comparison domain? Only then can the attr be read through it:
+    * a NARROWING cast (bigint→int) truncates/overflows, and integral→
+    * float/double loses precision above 2^53 — both can re-order values,
+    * so a "provably no match" from the child's stats would be wrong and
+    * (per the file contract) silently lose rows in a mutation. Allowed:
+    * integral→wider-integral, integral→decimal with enough integer
+    * capacity, and decimal→decimal that widens both precision and scale
+    * headroom. */
+  private def orderPreservingCast(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (f, t) if integralDigits(f).isDefined && integralDigits(t).isDefined =>
+        integralDigits(f).get <= integralDigits(t).get
+      case (f, d: DecimalType) if integralDigits(f).isDefined =>
+        d.scale >= 0 && (d.precision - d.scale) >= integralDigits(f).get
+      case (df: DecimalType, dt: DecimalType) =>
+        dt.scale >= df.scale &&
+          (dt.precision - dt.scale) >= (df.precision - df.scale)
+      case (FloatType, DoubleType) => true // exact widening
+      // exact in the target's mantissa: |int| < 2^31 < 2^53, |short| < 2^24
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (ByteType | ShortType, FloatType) => true
+      case _ => false
+    }
 
   private def attrName(e: Expression): Option[String] = e match {
     case a: UnresolvedAttribute => Some(a.name)
     case a: AttributeReference => Some(a.name)
-    // a numeric→numeric widening cast preserves order and the NumDomain
-    // compares everything as BigDecimal, so the attr can be read through
-    // it; any other cast (date→timestamp, string→x) changes the domain —
-    // stay conservative
-    case c: Cast if numericType(c.dataType) =>
+    // the attr can be read through a cast ONLY when the cast is injective
+    // and order-preserving into the NumDomain (BigDecimal compare); any
+    // other cast (narrowing, →float/double, date→timestamp, string→x)
+    // changes the domain — stay conservative
+    case c: Cast =>
       c.child match {
-        case a: AttributeReference if numericType(a.dataType) => Some(a.name)
-        case a: UnresolvedAttribute => None // type unknown — conservative
-        case _ => None
+        case a: AttributeReference
+            if orderPreservingCast(a.dataType, c.dataType) => Some(a.name)
+        case _ => None // unknown/ineligible child type — conservative
       }
     case _ => None
   }

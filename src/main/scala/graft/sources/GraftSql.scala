@@ -286,7 +286,16 @@ final class GraftSql(spark: SparkSession, val ops: TableOps,
       refreshSearchIndexes(table)
       ack("TRUNCATE", table, tv)
     case DropTable(table) =>
-      noTx("DROP TABLE"); ops.dropTable(table); ack("DROP TABLE", table, -1L)
+      noTx("DROP TABLE")
+      // TableOps cascades search-index deletion — the session caches must
+      // follow, or a recreated same-named table + index could be served by
+      // a stale cached Searcher (its syncedVersion is typically v0 both
+      // times, so the version key alone cannot tell them apart)
+      ops.searchIndexesFor(table).foreach { case (n, _) =>
+        searchers.remove(n).foreach(_._2.close())
+        indexers.remove(n)
+      }
+      ops.dropTable(table); ack("DROP TABLE", table, -1L)
     case CompactTableStmt(table, sortBy, zorder) =>
       noTx("COMPACT TABLE")
       val cols =

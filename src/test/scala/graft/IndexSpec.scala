@@ -18,8 +18,13 @@ class IndexSpec extends AnyFunSuite {
   val NumFiles = 800
   // Low salt threshold + few shards on purpose: forces the heavy-term salted
   // path at test scale.
+  // Tiny encodeTargetBytes on purpose: the build's scale-adaptive sizing
+  // would collapse this test corpus to one postings file, and the
+  // range-placed multi-file layout property below needs several files to
+  // be observable — the same forced-path spirit as the low salt threshold.
   def cfg(dir: String) = IndexConfig(indexDir = dir, numShards = 8,
-    heavyDfThreshold = 300, buildPartitions = 8)
+    heavyDfThreshold = 300, buildPartitions = 8,
+    encodeTargetBytes = 64L * 1024)
 
   lazy val corpusDS = CorpusGen.generate(spark, NumFiles).cache()
   lazy val corpusLocal: Seq[SourceFile] =
