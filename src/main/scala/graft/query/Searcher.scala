@@ -79,20 +79,26 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
   private lazy val tombstoneRecord: Option[graft.checkpoint.StageRecord] =
     new graft.checkpoint.Manifest(cfg.indexDir).get("tombstones")
 
-  private lazy val tombstones: java.util.HashSet[java.lang.Long] = {
-    val set = new java.util.HashSet[java.lang.Long]()
-    tombstoneRecord.foreach { r =>
-      val ids = spark.read.parquet(s"${cfg.indexDir}/${r.extra("dir")}")
-        .select($"docId").as[Long].collect()
-      require(ids.length <= Searcher.TombstonesMaxDocs,
-        s"${ids.length} tombstones exceed the serving bound — compact the index")
-      ids.foreach(set.add(_))
+  /** SORTED primitive docId array (8 B/id flat + binary-search probes):
+    * at the TombstonesMaxDocs bound this is ~400 MB on the driver and in
+    * each broadcast-deserialized copy, where the previous boxed
+    * HashSet[java.lang.Long] representation was multi-GB of objects — the
+    * bound exists but only this layout survives it (guide §5). */
+  private lazy val tombstones: Array[Long] = {
+    tombstoneRecord match {
+      case None => Array.emptyLongArray
+      case Some(r) =>
+        val ids = spark.read.parquet(s"${cfg.indexDir}/${r.extra("dir")}")
+          .select($"docId").as[Long].collect()
+        require(ids.length <= Searcher.TombstonesMaxDocs,
+          s"${ids.length} tombstones exceed the serving bound — compact the index")
+        java.util.Arrays.sort(ids)
+        ids
     }
-    set
   }
 
   private lazy val tombstonesBroadcast
-      : org.apache.spark.broadcast.Broadcast[java.util.HashSet[java.lang.Long]] = {
+      : org.apache.spark.broadcast.Broadcast[Array[Long]] = {
     val b = spark.sparkContext.broadcast(tombstones)
     cleanups.add(() => b.destroy())
     b
@@ -101,19 +107,21 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
   /** Tombstone predicate captured ONCE per query (the lazy-val accessor's
     * volatile read must not sit in the per-posting hot loop; and the
     * no-tombstones case — almost every index — pays a constant-false
-    * lambda, not a set probe). */
+    * lambda, not a search probe). */
   private def deadFn(): Long => Boolean = {
     val ts = tombstones
-    if (ts.isEmpty) _ => false else ts.contains(_)
+    if (ts.isEmpty) _ => false else Searcher.containsSorted(ts, _)
   }
 
-  /** Compose a skip predicate with a per-query ALLOW set (filtered search):
-    * a doc outside the allow-set is treated exactly like a dead doc —
-    * skipping a candidate only lowers theta and block-max bounds stay
-    * valid upper bounds, so WAND remains exact under any filter. */
+  /** Compose a skip predicate with a per-query ALLOW set (filtered search,
+    * SORTED ids): a doc outside the allow-set is treated exactly like a
+    * dead doc — skipping a candidate only lowers theta and block-max
+    * bounds stay valid upper bounds, so WAND remains exact under any
+    * filter. */
   private def withAllow(dead: Long => Boolean,
-      allow: java.util.HashSet[java.lang.Long]): Long => Boolean =
-    if (allow == null) dead else d => dead(d) || !allow.contains(d)
+      allow: Array[Long]): Long => Boolean =
+    if (allow == null) dead
+    else d => dead(d) || !Searcher.containsSorted(allow, d)
 
   /** Per-term df of DEAD docs (recorded by TableIndexer alongside the
     * tombstones): df_live = df_stored - delta, so idf — and therefore
@@ -166,7 +174,12 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
     require(stats.numDocs <= Int.MaxValue,
       s"normsLocalArr is Int-indexed; ${stats.numDocs} docs need the cogroup path")
     val arr = new Array[Int](stats.numDocs.toInt)
-    norms.collect().foreach { case (d, dl) => arr(d.toInt) = dl }
+    // direct single-job collect: materializing the persisted `norms`
+    // Dataset first would cost persist + count + collect (3 jobs) for the
+    // same bytes — `norms` stays lazy for the distributed TAAT join path
+    spark.read.parquet(cfg.docsPath)
+      .select($"docId", $"dl").as[(Long, Int)]
+      .collect().foreach { case (d, dl) => arr(d.toInt) = dl }
     arr
   }
 
@@ -226,7 +239,12 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
 
   private lazy val lexiconLocal: Option[Map[String, (Int, Long, Double, Int)]] = {
     if (stats.vocabSize <= DriverLexiconMaxTerms)
-      Some(lexiconDF.as[(String, Int, Long, Double, Int)].collect()
+      // direct single-job collect (not via lexiconDF): in this regime the
+      // persisted DataFrame would never be read again, so its persist +
+      // count jobs were pure startup overhead per fresh Searcher
+      Some(spark.read.parquet(cfg.lexiconPath)
+        .select($"term", $"termId", $"df", $"maxTfNorm", $"nBlocks")
+        .as[(String, Int, Long, Double, Int)].collect()
         .map { case (t, id, df, m, nb) => t -> ((id, df, m, nb)) }.toMap)
     else None
   }
@@ -364,7 +382,7 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
       val ti = idxB.value(blk.termId)
       val ts = tsB.value
       PostingCodec.decodeBlock(blk.bytes).iterator
-        .filter(pp => ts.isEmpty || !ts.contains(pp.docId))
+        .filter(pp => ts.isEmpty || !Searcher.containsSorted(ts, pp.docId))
         .map(pp => (pp.docId, ti, pp.tf))
     }.toDF("docId", "termIdx", "tf")
 
@@ -409,10 +427,8 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
     val ids = allowedDocs.select(col(idCol).cast("long"))
       .limit(max + 1).as[Long].collect()
     if (ids.length <= max) {
-      val allow =
-        new java.util.HashSet[java.lang.Long](math.max(16, ids.length * 2))
-      ids.foreach(d => allow.add(d))
-      searchWAND(query, k, allow)
+      java.util.Arrays.sort(ids) // the primitive sorted-set representation
+      searchWAND(query, k, ids)
     } else {
       scoreAll(query)
         .join(allowedDocs.select(col(idCol).cast("long").as("docId"))
@@ -467,7 +483,7 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
     blocksFor(termIds).flatMap { blk =>
       val ts = tsB.value
       PostingCodec.decodeBlock(blk.bytes).iterator
-        .filter(pp => ts.isEmpty || !ts.contains(pp.docId))
+        .filter(pp => ts.isEmpty || !Searcher.containsSorted(ts, pp.docId))
         .map(pp => (pp.docId, blk.termId))
     }.toDF("docId", "termId")
   }
@@ -520,7 +536,7 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
   /** Exact top-k via sharded Block-Max WAND. `allow` (optional): filtered
     * search — only docIds in the set may surface ([[searchWhere]]). */
   def searchWAND(query: String, k: Int,
-      allow: java.util.HashSet[java.lang.Long] = null): Array[ScoredDoc] = {
+      allow: Array[Long] = null): Array[ScoredDoc] = {
     val terms = queryTerms(query)
     if (terms.isEmpty) return Array.empty
     val lex = lexLive(terms)
@@ -592,12 +608,12 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
     // gather-bounded by searchWhere, so the broadcast is too)
     val alB = if (allow == null) null
       else spark.sparkContext.broadcast(allow)
-    def composeDead(ts: java.util.HashSet[java.lang.Long])
-        : Long => Boolean = {
+    def composeDead(ts: Array[Long]): Long => Boolean = {
       val dead0: Long => Boolean =
-        if (ts.isEmpty) _ => false else ts.contains(_)
+        if (ts.isEmpty) _ => false else Searcher.containsSorted(ts, _)
       if (alB == null) dead0
-      else { val al = alB.value; d => dead0(d) || !al.contains(d) }
+      else { val al = alB.value
+        d => dead0(d) || !Searcher.containsSorted(al, d) }
     }
     val kk = k
 
@@ -727,7 +743,7 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
       .mapGroups { (d, it) =>
         val rs = it.toArray
         val ts = tsB.value
-        val tf = if (!ts.isEmpty && ts.contains(d)) 0
+        val tf = if (ts.nonEmpty && Searcher.containsSorted(ts, d)) 0
           else Searcher.phraseTfOf(slotB.value, uc, rs)
         (d, tf, if (rs.isEmpty) 0 else rs.head.dl)
       }
@@ -751,8 +767,8 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
       .select($"docId", $"repo", $"path", $"commit", $"sha")
       // dead docs have no source row any more — they are outside the
       // invariant (their content left the corpus with the delete/update)
-      .filter(udf((d: Long) =>
-        { val ts = tsB.value; ts.isEmpty || !ts.contains(d) }).apply($"docId"))
+      .filter(udf((d: Long) => { val ts = tsB.value
+        ts.isEmpty || !Searcher.containsSorted(ts, d) }).apply($"docId"))
     val src = corpus.toDF()
       .select($"repo", $"path", $"commit", sha2($"content", 256).as("srcSha"))
     docs.join(src, Seq("repo", "path", "commit"), "left")
@@ -762,6 +778,11 @@ final class Searcher(spark: SparkSession, cfg: IndexConfig,
 }
 
 object Searcher {
+  /** Membership probe in a SORTED primitive id array — the tombstone /
+    * allow-set serving representation (see the tombstones scaladoc). */
+  @inline private[graft] def containsSorted(arr: Array[Long], d: Long): Boolean =
+    java.util.Arrays.binarySearch(arr, d) >= 0
+
   /** Local-serving budget: total posting-block rows the driver will cache
     * for in-process queries (~0.5 KB/block ⇒ ~128 MB at the default). Any
     * index above it — every real cluster corpus — serves distributed. */
@@ -838,10 +859,11 @@ object Searcher {
   }
 
   /** Serving bound on the tombstone set (driver-resident + broadcast,
-    * 8 B/id ⇒ ~400 MB at the bound). An index that accumulates more
-    * deletes than this must be compacted (rebuilt from the live table
-    * snapshot) — the Lucene merge-policy contract for reclaiming
-    * deletes, surfaced as an explicit limit instead of silent slowdown. */
+    * 8 B/id in the sorted primitive layout ⇒ ~400 MB at the bound). An
+    * index that accumulates more deletes than this must be compacted
+    * (rebuilt from the live table snapshot) — the Lucene merge-policy
+    * contract for reclaiming deletes, surfaced as an explicit limit
+    * instead of silent slowdown. */
   val TombstonesMaxDocs: Long = 50000000L
 
   /** Gather bound for a filtered search's allow-set ([[Searcher!.searchWhere]]):

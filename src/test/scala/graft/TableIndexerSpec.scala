@@ -214,4 +214,20 @@ class TableIndexerSpec extends AnyFunSuite {
     assert(ti.refresh("t").numDocs == live.size)
     assertParity("healed", ti.cfg, live)
   }
+
+  test("sorted primitive id-set probe agrees with set membership") {
+    // the tombstone / allow-set serving representation (r7: sorted
+    // Array[Long] + binary search replacing the boxed HashSet): exact
+    // membership on arbitrary id patterns, including bounds and absent ids
+    val rnd = new scala.util.Random(7)
+    val ids = Array.fill(5000)(rnd.nextLong() % 1000000L)
+    java.util.Arrays.sort(ids)
+    val ref = ids.toSet
+    val probes = ids.take(100) ++ Array(Long.MinValue, Long.MaxValue, 0L,
+      -1L, 1L) ++ Array.fill(5000)(rnd.nextLong() % 1000000L)
+    probes.foreach { d =>
+      assert(Searcher.containsSorted(ids, d) == ref.contains(d), s"id $d")
+    }
+    assert(!Searcher.containsSorted(Array.emptyLongArray, 42L))
+  }
 }
