@@ -84,13 +84,27 @@ object LocalIO extends TableIO {
   def createExclusive(path: String, bytes: Array[Byte]): Boolean = {
     val target = p(path)
     Files.createDirectories(target.getParent)
-    try {
-      val ch = Files.newByteChannel(target,
-        java.nio.file.StandardOpenOption.CREATE_NEW,
-        java.nio.file.StandardOpenOption.WRITE)
-      try ch.write(java.nio.ByteBuffer.wrap(bytes)) finally ch.close()
-      true
-    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    // publish the claim atomically WITH its token: a CREATE_NEW + write
+    // sequence could crash between the two, leaving an empty-token claim
+    // that recovery misclassifies as foreign and permanently wedges the
+    // version. Fully write a private temp file first, then hard-link it
+    // into place — createLink is atomic and fails if the target exists.
+    val tmp = target.resolveSibling(
+      s".${target.getFileName}.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    Files.write(tmp, bytes)
+    try { Files.createLink(target, tmp); true }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: UnsupportedOperationException =>
+        // no hard links on this FS: the historical CREATE_NEW write
+        try {
+          val ch = Files.newByteChannel(target,
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          try ch.write(java.nio.ByteBuffer.wrap(bytes)) finally ch.close()
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } finally Files.deleteIfExists(tmp)
   }
 
   def list(dir: String): Seq[String] = {
@@ -171,15 +185,24 @@ final class HadoopIO(conf: Configuration) extends TableIO {
   def createExclusive(path: String, bytes: Array[Byte]): Boolean = {
     val p = hp(path); val f = fs(p)
     f.mkdirs(p.getParent)
+    if (f.exists(p)) return false
+    // publish atomically WITH the token (see LocalIO.createExclusive): a
+    // create(false) + write could crash mid-write and leave a partial
+    // claim that recovery misclassifies. Fully write a private temp file,
+    // then rename-without-overwrite — on HDFS a single namenode op that
+    // fails (returns false) when the destination already exists.
+    val tmp = new HPath(p.getParent,
+      s".${p.getName}.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(bytes) finally out.close()
     try {
-      val out = f.create(p, false) // atomic create-no-overwrite on HDFS
-      try out.write(bytes) finally out.close()
-      true
-    } catch {
-      case _: HFileExists => false
-      case _: org.apache.hadoop.fs.ParentNotDirectoryException => false
-      case e: java.io.IOException if f.exists(p) => false
-    }
+      try f.rename(tmp, p)
+      catch {
+        case _: HFileExists => false
+        case _: org.apache.hadoop.fs.ParentNotDirectoryException => false
+        case _: java.io.IOException if f.exists(p) => false
+      }
+    } finally { if (f.exists(tmp)) f.delete(tmp, false) }
   }
 
   def list(dir: String): Seq[String] = {

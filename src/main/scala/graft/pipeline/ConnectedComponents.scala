@@ -63,31 +63,27 @@ object ConnectedComponents {
     while (!done) {
       // large-star: m(x) = min over x's full neighborhood (both directions)
       // plus x itself; larger neighbors re-point at m(x).
-      // The explicit repartition on u establishes the star step's
-      // partitioning ONCE: the groupBy-min and the equi-join both require
-      // hash(u), so they reuse this single exchange — and the union
-      // subtree is computed once instead of once per consumer (guide
-      // §2.4: two operations keyed the same way share one exchange).
-      // No explicit partition count: AQE sizes/coalesces it from the data.
+      // (r7 note: an explicit repartition(u) shared by the groupBy and the
+      // join was measured 15-20% SLOWER here — AQE broadcast-joins the
+      // mins side, so the join needs no exchange and the repartition was
+      // pure added cost; guide §1.1's "the ideal plan is usually slower at
+      // first" case, reverted on measurement.)
       val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
-        .repartition(col("u"))
       val mins = sym.groupBy(col("u"))
         .agg(min(col("v")).as("mn"))
         .select(col("u").as("x"), least(col("u"), col("mn")).as("m"))
-      // no intermediate distinct: duplicates cannot change a min or the
-      // final distinct edge set, and dropping it removes a whole (u,v)
-      // exchange per round
+      // no intermediate distinct (r7): duplicates cannot change a min or
+      // the final distinct edge set, and dropping it removes a whole
+      // (u,v) exchange per round
       val afterLarge = sym.filter(col("v") > col("u"))
         .join(mins, col("u") === col("x"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
       // small-star: on (u > v)-oriented edges, u and all its smaller
       // neighbors point at the minimum of the closed smaller-neighborhood
-      // (same shared-exchange discipline as the large-star step)
       val oriented = afterLarge.select(
           greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
         .filter(col("u") =!= col("v"))
-        .repartition(col("u"))
       val smallMins = oriented.groupBy(col("u"))
         .agg(min(col("v")).as("m"))
       val next = oriented.join(smallMins, "u")

@@ -125,8 +125,10 @@ final class GraftSql(spark: SparkSession, val ops: TableOps,
     """(?is)^\s*INSERT\s+INTO\s+(\w+)\s+(SELECT\b.*|WITH\b.*)$""".r
   private val InsertValues =
     """(?is)^\s*INSERT\s+INTO\s+(\w+)\s+VALUES\s+(.*)$""".r
+  // the SET/WHERE boundary is found by a quote-aware scan (not the regex):
+  // a SET expression may contain the word WHERE inside a string literal
   private val Update =
-    """(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)\s+WHERE\s+(.*)$""".r
+    """(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.*)$""".r
   private val Delete =
     """(?is)^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.*)$""".r
   private val Merge =
@@ -249,7 +251,11 @@ final class GraftSql(spark: SparkSession, val ops: TableOps,
       lazy val rows = spark.sql(s"SELECT * FROM VALUES $values").toDF(cols: _*)
       dml(table, "INSERT", tx => tx.insert(rows), () => ops.insert(table, rows),
         () => Some(rows))
-    case Update(table, sets, cond) =>
+    case Update(table, body) =>
+      val wi = indexOfTopLevelWord(body, "WHERE")
+      require(wi >= 0, s"UPDATE $table needs a top-level WHERE clause")
+      val sets = body.substring(0, wi).trim
+      val cond = body.substring(wi + "WHERE".length).trim
       val pairs = splitTopLevel(sets).map { a =>
         val i = a.indexOf('=')
         require(i > 0, s"malformed SET assignment: $a")
@@ -668,9 +674,20 @@ final class GraftSql(spark: SparkSession, val ops: TableOps,
     triggerDepth += 1
     try {
       val tv = transition()
+      // save/restore any outer `inserted` view: a cascading trigger whose
+      // statement inserts into another triggered table re-binds the name
+      // mid-cascade, and without the restore a LATER trigger of the OUTER
+      // event would read the inner table's rows or fail with not-found
+      val prior: Option[DataFrame] =
+        if (tv.isDefined && spark.catalog.tableExists("inserted"))
+          Some(spark.table("inserted"))
+        else None
       tv.foreach(_.createOrReplaceTempView("inserted"))
       try triggers.foreach { case (_, statement) => exec(statement) }
-      finally if (tv.isDefined) spark.catalog.dropTempView("inserted")
+      finally if (tv.isDefined) prior match {
+        case Some(p) => p.createOrReplaceTempView("inserted")
+        case None => spark.catalog.dropTempView("inserted")
+      }
     } finally triggerDepth -= 1
   }
 
@@ -735,7 +752,11 @@ final class GraftSql(spark: SparkSession, val ops: TableOps,
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
+      // inside a string literal, skip a backslash-escaped character
+      // (Spark SQL literals support \'): the char after \ can never
+      // open/close the literal. A doubled '' reads as close+reopen, which
+      // keeps the in-string state correct across it.
+      if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
       else c match {
         case '\'' => inStr = true
         case '(' => depth += 1
@@ -748,6 +769,32 @@ final class GraftSql(spark: SparkSession, val ops: TableOps,
     }
     out += s.substring(start)
     out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Index of the first occurrence of word `kw` at TOP LEVEL — outside
+    * string literals (quote-aware incl. \-escapes and '' doubling) and
+    * outside parentheses — with word boundaries; -1 when absent. */
+  private def indexOfTopLevelWord(s: String, kw: String): Int = {
+    def wordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    var depth = 0
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && s.regionMatches(true, i, kw, 0, kw.length) &&
+              (i == 0 || !wordChar(s.charAt(i - 1))) &&
+              (i + kw.length == s.length || !wordChar(s.charAt(i + kw.length))))
+            return i
+      }
+      i += 1
+    }
+    -1
   }
 }
 

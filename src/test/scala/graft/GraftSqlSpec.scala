@@ -34,6 +34,27 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(sql.exec("SELECT count(*) AS n FROM t").as[Long].head() == 4)
   }
 
+  test("UPDATE splits SET/WHERE quote-aware: literals with WHERE and ''") {
+    val sql = fresh("qsplit")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .createOrReplaceTempView("seed_qsplit")
+    sql.exec("CREATE TABLE t AS SELECT * FROM seed_qsplit")
+    // a SET value whose STRING LITERAL contains the word WHERE (plus a
+    // comma): the statement must split at the real top-level WHERE
+    sql.exec("UPDATE t SET name = 'x WHERE y, z' WHERE id = 1")
+    assert(sql.exec("SELECT name FROM t WHERE id = 1")
+      .as[String].head() == "x WHERE y, z")
+    // a doubled-quote escape inside a SET value
+    sql.exec("UPDATE t SET name = 'don''t, stop' WHERE id = 2")
+    assert(sql.exec("SELECT name FROM t WHERE id = 2")
+      .as[String].head() == "don't, stop")
+    // no top-level WHERE is still a loud error
+    val e = intercept[IllegalArgumentException] {
+      sql.exec("UPDATE t SET name = 'a WHERE b'")
+    }
+    assert(e.getMessage.contains("WHERE"))
+  }
+
   test("MERGE INTO: matched update + unmatched insert; insert-only variant") {
     val sql = fresh("merge")
     Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v").createOrReplaceTempView("seed_sql2")
