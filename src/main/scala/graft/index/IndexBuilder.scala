@@ -384,9 +384,9 @@ object IndexBuilder {
     val collected = metricsAcc.value
     if (!collected.isEmpty) {
       import scala.jdk.CollectionConverters._
-      // driver-local list — one task / one file, not defaultParallelism
-      // tiny files per build
-      spark.createDataset(collected.asScala.toSeq).repartition(1)
+      // driver-local list — one task / one file (coalesce: no shuffle),
+      // not defaultParallelism tiny files per build
+      spark.createDataset(collected.asScala.toSeq).coalesce(1)
         .write.mode("append").parquet(cfg.metricsPath)
     }
 
