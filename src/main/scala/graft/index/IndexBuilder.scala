@@ -372,7 +372,7 @@ object IndexBuilder {
     // ---- stage 4: lexicon + stats ------------------------------------------
     if (!manifest.isComplete("lexicon", fp)) {
       val t0 = System.nanoTime()
-      val vocabN = writeLexicon(spark, cfg.postingsPath, cfg.vocabPath,
+      val (vocabN, _) = writeLexicon(spark, cfg.postingsPath, cfg.vocabPath,
         cfg.lexiconPath, parts, cfg.rangeTargetBytes)
       manifest.commit(StageRecord("lexicon", "complete", fp, vocabN,
         (System.nanoTime() - t0) / 1000000,
@@ -716,10 +716,13 @@ object IndexBuilder {
   }
 
   /** Per-term stats aggregated from block metadata → lexicon parquet,
-    * range-partitioned and sorted by termId. Returns the term count. */
+    * range-partitioned and sorted by termId. Returns (term count, total
+    * block count) — both from ONE metadata-sized agg job, so callers that
+    * need the merged block total (append's postings-record refresh) pay
+    * no second pass. */
   private def writeLexicon(spark: SparkSession, postingsPath: String,
       vocabPath: String, outPath: String, parts: Int,
-      targetBytes: Long = 32L * 1024 * 1024): Long = {
+      targetBytes: Long = 32L * 1024 * 1024): (Long, Long) = {
     import spark.implicits._
     val vocab = spark.read.parquet(vocabPath).select($"termId", $"term")
     // one lexicon row per vocab term: size the range exchange from the
@@ -737,7 +740,9 @@ object IndexBuilder {
       .repartitionByRange(lexParts, $"termId")
       .sortWithinPartitions($"termId")
       .write.mode("overwrite").parquet(outPath)
-    spark.read.parquet(outPath).count()
+    spark.read.parquet(outPath)
+      .agg(count(lit(1)), coalesce(sum($"nBlocks".cast("long")), lit(0L)))
+      .as[(Long, Long)].head()
   }
 
   /** Compact a multi-segment index back to the single-segment layout.
@@ -833,8 +838,8 @@ object IndexBuilder {
     val nb = encodePostings(spark, fw, heavy, st.numDocs, st.avgDl, cfg,
       parts, st.totalTokens, metricsAcc, postingsNew)
     val lexiconNew = s"${cfg.indexDir}/lexicon_compact"
-    val vocabN = writeLexicon(spark, postingsNew, cfg.vocabPath, lexiconNew,
-      parts, cfg.rangeTargetBytes)
+    val (vocabN, _) = writeLexicon(spark, postingsNew, cfg.vocabPath,
+      lexiconNew, parts, cfg.rangeTargetBytes)
 
     // all three staged dirs are complete and mutually consistent: from here
     // the swap sequence is recoverable step-by-step (records below)
@@ -1060,43 +1065,46 @@ object IndexBuilder {
       if (fingerprint.nonEmpty) fingerprint else s"append$appendIdx")
 
     // 2) merged vocabulary — distributed (no driver collect): existing
-    //    termIds are immutable; new terms (anti-join on term) get dense ids
-    //    after them via the same offset-rank assignment as the build.
-    val vocabNew = s"${cfg.indexDir}/vocab_new"
+    //    termIds are immutable; new terms (anti-join on term) get dense
+    //    ids after them via the same offset-rank assignment as the build,
+    //    and land as ADDITIONAL vocab part-files under a deterministic
+    //    segN- prefix (r7: O(new terms) per append — the same file-level
+    //    merge discipline as the docs/postings steps; the previous
+    //    whole-vocab union rewrite was an O(vocab) pass per batch, the
+    //    one append step that did not scale with the change size).
     val vocabLive = new java.io.File(cfg.vocabPath)
     if (!manifest.isComplete(s"merge-$appendIdx-vocab", fp)) {
-      if (!vocabLive.exists() && new java.io.File(vocabNew).exists()) {
-        // crashed between delete and move on a previous attempt: finish it
-        java.nio.file.Files.move(java.nio.file.Paths.get(vocabNew),
-          vocabLive.toPath)
-      } else {
-        val oldVocab = spark.read.parquet(cfg.vocabPath)
-          .select($"termId", $"term", $"df")
-        // current vocab size WITHOUT a Spark job where the manifest already
-        // carries it: the lexicon is one row per vocab term (every term has
-        // ≥1 posting block by construction — terms come from forward rows),
-        // and both build and every completed append refresh its record.
-        // Manifest missing/stale (no lexicon record) falls back to a count.
-        val oldSize = records.get("lexicon").map(_.rows)
-          .getOrElse(oldVocab.count())
-        val newRanked = s"${cfg.indexDir}/vocab_newterms"
-        val parts0 = if (cfg.buildPartitions > 0) cfg.buildPartitions
-          else spark.sparkContext.defaultParallelism
-        writeRanked(spark,
-          spark.read.parquet(subCfg.vocabPath).select($"term", $"df")
-            .join(oldVocab.select($"term"), Seq("term"), "left_anti")
-            .select($"term", $"df").as[(String, Long)],
-          parts0, newRanked, baseId = oldSize,
-          targetBytes = cfg.rangeTargetBytes)
-        oldVocab.unionByName(spark.read.parquet(newRanked))
-          .write.mode("overwrite").parquet(vocabNew)
-        org.apache.commons.io.FileUtils.deleteDirectory(
-          new java.io.File(newRanked))
-        // swap: delete→move; the window between the two is recovered above
-        org.apache.commons.io.FileUtils.deleteDirectory(vocabLive)
-        java.nio.file.Files.move(java.nio.file.Paths.get(vocabNew),
+      val vocabNewLegacy = s"${cfg.indexDir}/vocab_new"
+      if (!vocabLive.exists() && new java.io.File(vocabNewLegacy).exists()) {
+        // a pre-r7 builder crashed between its delete and move: finish it
+        java.nio.file.Files.move(java.nio.file.Paths.get(vocabNewLegacy),
           vocabLive.toPath)
       }
+      // a crashed previous attempt may already have moved some new-term
+      // files in — remove them first so the anti-join and the advisory
+      // size see exactly the pre-append vocabulary (idempotent retry)
+      Option(vocabLive.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(s"seg$appendIdx-"))
+        .foreach(f => { f.delete(); () })
+      val oldVocab = spark.read.parquet(cfg.vocabPath)
+        .select($"termId", $"term", $"df")
+      // current vocab size WITHOUT a Spark job where the manifest already
+      // carries it: the lexicon is one row per vocab term (every term has
+      // ≥1 posting block by construction — terms come from forward rows),
+      // and both build and every completed append refresh its record.
+      // Manifest missing/stale (no lexicon record) falls back to a count.
+      val oldSize = records.get("lexicon").map(_.rows)
+        .getOrElse(oldVocab.count())
+      val newRanked = s"${cfg.indexDir}/vocab_newterms"
+      val parts0 = if (cfg.buildPartitions > 0) cfg.buildPartitions
+        else spark.sparkContext.defaultParallelism
+      writeRanked(spark,
+        spark.read.parquet(subCfg.vocabPath).select($"term", $"df")
+          .join(oldVocab.select($"term"), Seq("term"), "left_anti")
+          .select($"term", $"df").as[(String, Long)],
+        parts0, newRanked, baseId = oldSize,
+        targetBytes = cfg.rangeTargetBytes)
+      mergeParquetDir(newRanked, cfg.vocabPath, s"seg$appendIdx")
       manifest.commit(StageRecord(s"merge-$appendIdx-vocab", "complete", fp,
         0L, 0L, Map.empty))
     }
@@ -1153,8 +1161,8 @@ object IndexBuilder {
     spark.catalog.refreshByPath(cfg.indexDir)
     val parts = if (cfg.buildPartitions > 0) cfg.buildPartitions
       else spark.sparkContext.defaultParallelism
-    val vocabN = writeLexicon(spark, cfg.postingsPath, cfg.vocabPath,
-      cfg.lexiconPath, parts, cfg.rangeTargetBytes)
+    val (vocabN, mergedBlocks) = writeLexicon(spark, cfg.postingsPath,
+      cfg.vocabPath, cfg.lexiconPath, parts, cfg.rangeTargetBytes)
     // ...and again now that writeLexicon's overwrite replaced the lexicon
     // files: the refresh above left any cached lexicon plan as a LAZY
     // entry over the just-deleted old files — re-listing here keeps the
@@ -1162,12 +1170,10 @@ object IndexBuilder {
     spark.catalog.refreshByPath(cfg.indexDir)
 
     // refresh the authoritative `postings` record with the MERGED block
-    // count (summed from the just-written vocab-sized lexicon — no postings
-    // re-read): the Searcher's localServe/cache budgets gate on this record,
-    // and without the refresh an append could silently grow the driver-side
-    // cache past its stated budget
-    val mergedBlocks = spark.read.parquet(cfg.lexiconPath)
-      .agg(sum($"nBlocks")).as[Long].head()
+    // count (returned by writeLexicon's single agg — no second lexicon
+    // pass): the Searcher's localServe/cache budgets gate on this record,
+    // and without the refresh an append could silently grow the
+    // driver-side cache past its stated budget
     manifest.get("postings").foreach { rec =>
       manifest.commit(rec.copy(rows = mergedBlocks))
     }
