@@ -219,17 +219,18 @@ object IndexBuilder {
       // single materialization (VERDICT r2 fix #5): persist the sorted key
       // set, count per partition with a tiny job, write final docIds
       // directly — no staged parquet, no full rewrite
-      val sorted0 = corpus.toDF()
-        .select($"repo", $"path", $"commit")
-        .repartitionByRange(rangeParts, $"repo", $"path", $"commit")
+      val keys = corpus.toDF().select($"repo", $"path", $"commit")
+      def sortedAs(df: org.apache.spark.sql.DataFrame) = df
         .sortWithinPartitions($"repo", $"path", $"commit")
         .as[(String, String, String)]
       val acc = if (rangeParts == 1) {
-        // single range partition: no sampling job runs and the offsets
-        // array is trivially [0], so the persist + per-partition-counts
-        // machinery is pure overhead — write in ONE job and take the row
-        // count from the written parquet metadata
-        sorted0.mapPartitions { it =>
+        // single range partition: coalesce instead of an exchange (same
+        // single sorted partition, one fewer stage to materialize); no
+        // sampling job runs and the offsets array is trivially [0], so
+        // the persist + per-partition-counts machinery is pure overhead —
+        // write in ONE job and take the row count from the written
+        // parquet metadata
+        sortedAs(keys.coalesce(1)).mapPartitions { it =>
           var i = -1L
           it.map { case (repo, path, commit) =>
             i += 1; (i, repo, path, commit)
@@ -238,7 +239,8 @@ object IndexBuilder {
           .write.mode("overwrite").parquet(cfg.keymapPath)
         spark.read.parquet(cfg.keymapPath).count()
       } else {
-        val sortedKeys = sorted0
+        val sortedKeys = sortedAs(
+          keys.repartitionByRange(rangeParts, $"repo", $"path", $"commit"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val counts = sortedKeys.mapPartitions { it =>
@@ -606,6 +608,13 @@ object IndexBuilder {
     * byte arrays; also bounds the reduce-side heap's per-cursor state). */
   final val RunPackCap = 8192
 
+  /** Broadcast the append lexicon-merge delta only while the batch's vocab
+    * stays under this row count (~40 B/row ⇒ ≤ ~40 MB broadcast — the
+    * micro-batch/refresh regime); a mega-batch append above it joins
+    * shuffled instead of risking a driver/executor-memory-sized
+    * broadcast. */
+  final val LexDeltaBroadcastCap = 1000000L
+
   /** The packRuns=false reduce side: consume raw posting rows, already
     * shuffle-sorted by (termId, salt, docId), and stream-emit blocks that
     * never span a shard boundary — O(blockSize) memory, identical block
@@ -730,16 +739,32 @@ object IndexBuilder {
     // the old core-derived parts/4
     val lexParts = sizedParts(planBytes(vocab), targetBytes,
       math.max(parts / 4, 1))
-    spark.read.parquet(postingsPath)
+    val agg = spark.read.parquet(postingsPath)
       .groupBy($"termId")
       .agg(sum($"count").as("df"), sum($"sumTf").as("cf"),
         count(lit(1)).cast("int").as("nBlocks"),
         max($"maxTfNorm").as("maxTfNorm"))
       .join(vocab, "termId") // AQE broadcasts when the vocab is small
       .select($"term", $"termId", $"df", $"cf", $"nBlocks", $"maxTfNorm")
-      .repartitionByRange(lexParts, $"termId")
-      .sortWithinPartitions($"termId")
-      .write.mode("overwrite").parquet(outPath)
+    if (lexParts == 1) {
+      // single output partition: coalesce instead of a range exchange —
+      // identical single sorted partition, no exchange to materialize
+      // (the map-side partial agg keeps its parallelism; only the
+      // vocab-sized final agg+join+sort runs in the one task)
+      agg.coalesce(1).sortWithinPartitions($"termId")
+        .write.mode("overwrite").parquet(outPath)
+    } else {
+      // persist before the multi-partition range exchange: its sampling
+      // job would otherwise execute the full block-metadata aggregation
+      // twice (same one-pass fix as writeRanked)
+      val src = agg
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        src.repartitionByRange(lexParts, $"termId")
+          .sortWithinPartitions($"termId")
+          .write.mode("overwrite").parquet(outPath)
+      } finally { src.unpersist(); () }
+    }
     spark.read.parquet(outPath)
       .agg(count(lit(1)), coalesce(sum($"nBlocks".cast("long")), lit(0L)))
       .as[(Long, Long)].head()
@@ -939,22 +964,24 @@ object IndexBuilder {
     try {
       val nRows = agg.count()
       val rangeParts = sizedParts(nRows * 32L, targetBytes, parts)
-      val sorted0 = agg
-        .repartitionByRange(rangeParts, $"term")
-        .sortWithinPartitions($"term")
-        .as[(String, Long)]
       if (rangeParts == 1) {
-        // single range partition: no sampling job, offsets = [baseId] —
-        // skip the second persist and the per-partition-counts job (the
-        // total is the nRows just counted)
-        sorted0.mapPartitions { it =>
+        // single range partition: coalesce instead of an exchange (same
+        // single sorted partition, one fewer stage to materialize), no
+        // sampling job, offsets = [baseId] — skip the second persist and
+        // the per-partition-counts job (the total is the nRows just
+        // counted)
+        agg.coalesce(1).sortWithinPartitions($"term")
+          .as[(String, Long)].mapPartitions { it =>
           var i = baseId - 1L
           it.map { case (term, df) => i += 1; (i.toInt, term, df) }
         }.toDF("termId", "term", "df")
           .write.mode("overwrite").parquet(outPath)
         nRows
       } else {
-        val sorted = sorted0
+        val sorted = agg
+          .repartitionByRange(rangeParts, $"term")
+          .sortWithinPartitions($"term")
+          .as[(String, Long)]
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val counts = sorted.mapPartitions { it =>
@@ -1098,15 +1125,17 @@ object IndexBuilder {
       val newRanked = s"${cfg.indexDir}/vocab_newterms"
       val parts0 = if (cfg.buildPartitions > 0) cfg.buildPartitions
         else spark.sparkContext.defaultParallelism
-      writeRanked(spark,
+      val newTerms = writeRanked(spark,
         spark.read.parquet(subCfg.vocabPath).select($"term", $"df")
           .join(oldVocab.select($"term"), Seq("term"), "left_anti")
           .select($"term", $"df").as[(String, Long)],
         parts0, newRanked, baseId = oldSize,
         targetBytes = cfg.rangeTargetBytes)
       mergeParquetDir(newRanked, cfg.vocabPath, s"seg$appendIdx")
+      // rows = the NEW term count: step 5 derives the merged lexicon size
+      // from it without re-counting anything
       manifest.commit(StageRecord(s"merge-$appendIdx-vocab", "complete", fp,
-        0L, 0L, Map.empty))
+        newTerms, 0L, Map.empty))
     }
 
     // 3) docs: shift docId + shard, staged write + idempotent merge
@@ -1148,25 +1177,148 @@ object IndexBuilder {
         fp, 0L, 0L, Map.empty))
     }
 
-    // 5) lexicon: full recompute from the merged postings + vocabulary
-    //    (idempotent — a crash mid-overwrite re-runs this step entirely).
+    // 5) lexicon: INCREMENTAL merge — O(batch blocks + vocab) per append
+    //    instead of a full recompute over EVERY postings block's metadata
+    //    (r7, guide §2.4/§2.1: per-batch maintenance work must scale with
+    //    the change, not the index — at web scale the block-metadata scan
+    //    was the one remaining O(index) read in the append path). Every
+    //    lexicon aggregate is associative (df/cf/nBlocks are sums over
+    //    blocks, maxTfNorm a max), so merging the pre-append lexicon with
+    //    the new segment's per-term deltas is value-identical to the full
+    //    recompute — AppendSpec pins the merged lexicon column-for-column
+    //    against the recompute formula, and against a from-scratch build's
+    //    dfs. The new segment's blocks are exactly the seg$appendIdx-
+    //    part-files step 4 just merged in; brand-new terms live only in
+    //    the seg$appendIdx- vocab part-files step 2 wrote.
+    //
+    //    Crash discipline is compact's staged+swap: the live lexicon is
+    //    replaced only AFTER the staged merge commits its record, so the
+    //    live lexicon includes segN's deltas IFF merge-N-lexicon is
+    //    committed — a retry either re-runs the stage step against the
+    //    intact pre-append lexicon or skips straight past the swap.
+    //
     //    First, re-list cached plans rooted here: a live Searcher's
-    //    PERSISTED postings plan pins the PRE-merge file listing, and
-    //    Spark's CacheManager substitutes cached plans into ANY matching
-    //    read — this recompute would silently miss the new segment's
-    //    blocks and write a lexicon whose dfs undercount (live df 0 after
-    //    a full-file rewrite ⇒ empty results). The call must come AFTER
-    //    the segment files land (an earlier refresh would just re-pin the
-    //    pre-merge listing).
+    //    PERSISTED plans pin PRE-merge file listings, and Spark's
+    //    CacheManager substitutes cached plans into ANY matching read.
     spark.catalog.refreshByPath(cfg.indexDir)
     val parts = if (cfg.buildPartitions > 0) cfg.buildPartitions
       else spark.sparkContext.defaultParallelism
-    val (vocabN, mergedBlocks) = writeLexicon(spark, cfg.postingsPath,
-      cfg.vocabPath, cfg.lexiconPath, parts, cfg.rangeTargetBytes)
-    // ...and again now that writeLexicon's overwrite replaced the lexicon
-    // files: the refresh above left any cached lexicon plan as a LAZY
-    // entry over the just-deleted old files — re-listing here keeps the
-    // mergedBlocks read below (and every later reader) off dead paths.
+    val lexStage = s"${cfg.indexDir}/lexicon_stage_$appendIdx"
+    if (!manifest.isComplete(s"merge-$appendIdx-lexstage", fp)) {
+      val segPostings = Option(new java.io.File(cfg.postingsPath).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.startsWith(s"seg$appendIdx-")).map(_.getPath).toSeq
+      val segVocab = Option(vocabLive.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.startsWith(s"seg$appendIdx-")).map(_.getPath).toSeq
+      // explicit schemas: the layouts are fixed by the writers above, so
+      // every read here skips a driver-side footer/schema-inference pass
+      // (the lex-stage cost is pure fixed overhead at micro-batch scale)
+      val enc = org.apache.spark.sql.Encoders
+      val oldLex = spark.read.schema(enc.product[LexiconEntry].schema)
+        .parquet(cfg.lexiconPath)
+      val mergedLex =
+        if (segPostings.isEmpty)
+          // degenerate empty batch: no blocks merged, lexicon unchanged
+          oldLex.select($"term", $"termId", $"df", $"cf", $"nBlocks",
+            $"maxTfNorm")
+        else {
+          val delta0 = spark.read
+            .schema(enc.product[PostingBlockRow].schema)
+            .parquet(segPostings: _*)
+            .select($"termId", $"count", $"sumTf", $"maxTfNorm")
+            .groupBy($"termId")
+            .agg(sum($"count").as("dDf"), sum($"sumTf").as("dCf"),
+              count(lit(1)).cast("int").as("dBlocks"),
+              max($"maxTfNorm").as("dMax"))
+          // the delta is batch-vocab-sized: broadcast it below the cap so
+          // the O(vocab) old-lexicon side is joined with NO exchange (a
+          // compile-time hint — AQE's runtime conversion would still
+          // materialize both sides' shuffles as separate jobs); a
+          // mega-batch past the cap falls back to a shuffled join
+          val delta = if (subStats.vocabSize <= LexDeltaBroadcastCap)
+            broadcast(delta0) else delta0
+          // existing terms: merge the delta into their lexicon row (left
+          // join — delta rows for NEW terms match nothing here and are
+          // dropped; sums/max are associative, so this equals the full
+          // recompute exactly)
+          val updatedOld = oldLex.join(delta, Seq("termId"), "left")
+            .select($"term", $"termId",
+              ($"df" + coalesce($"dDf", lit(0L))).as("df"),
+              ($"cf" + coalesce($"dCf", lit(0L))).as("cf"),
+              ($"nBlocks" + coalesce($"dBlocks", lit(0)))
+                .cast("int").as("nBlocks"),
+              greatest($"maxTfNorm", $"dMax").as("maxTfNorm"))
+          // new terms: exactly the segment's vocab part-files; every new
+          // term has >= 1 block in this segment by construction, so the
+          // inner join against the delta is lossless
+          if (segVocab.isEmpty) updatedOld
+          else updatedOld.unionByName(
+            spark.read.schema("termId INT, term STRING, df BIGINT")
+              .parquet(segVocab: _*).select($"termId", $"term")
+              .join(delta, Seq("termId"))
+              .select($"term", $"termId", $"dDf".as("df"), $"dCf".as("cf"),
+                $"dBlocks".as("nBlocks"), $"dMax".as("maxTfNorm")))
+        }
+      // size the output layout from the vocab dir's file bytes directly —
+      // no read-and-analyze pass just for sizing (the index layer is
+      // local-FS by design; see TableIndexer's ADVICE note)
+      val vocabBytes = Option(vocabLive.listFiles())
+        .getOrElse(Array.empty[java.io.File]).map(_.length).sum
+      val lexParts = sizedParts(
+        if (vocabBytes > 0L) vocabBytes else Long.MaxValue,
+        cfg.rangeTargetBytes, math.max(parts / 4, 1))
+      if (lexParts == 1) {
+        // single output partition: coalesce instead of a range exchange —
+        // identical single sorted partition, but no exchange to
+        // materialize (one job writes the whole merge)
+        mergedLex.coalesce(1).sortWithinPartitions($"termId")
+          .write.mode("overwrite").parquet(lexStage)
+      } else {
+        // persist before a multi-partition range exchange (sampling would
+        // re-execute the merge lineage twice — same fix as writeRanked)
+        val src = mergedLex
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          src.repartitionByRange(lexParts, $"termId")
+            .sortWithinPartitions($"termId")
+            .write.mode("overwrite").parquet(lexStage)
+        } finally { src.unpersist(); () }
+      }
+      // merged totals from bookkeeping already in hand — no count job:
+      // terms = pre-append lexicon rows + step 2's new-term count (the
+      // legacy-manifest fallbacks are one tiny count each); blocks =
+      // the authoritative pre-append postings record + the sub-index's
+      // block count (step 4's remap is 1:1 on rows)
+      val newTerms = manifest.get(s"merge-$appendIdx-vocab").map(_.rows)
+        .filter(n => n > 0L || segVocab.isEmpty)
+        .getOrElse(if (segVocab.isEmpty) 0L
+          else spark.read.schema("termId INT, term STRING, df BIGINT")
+            .parquet(segVocab: _*).count())
+      val oldVocabN = records.get("lexicon").map(_.rows)
+        .getOrElse(oldLex.count())
+      val subNb = new Manifest(subCfg.indexDir).get("postings").map(_.rows)
+        .getOrElse(0L)
+      val oldNb = records.get("postings").map(_.rows).getOrElse(0L)
+      manifest.commit(StageRecord(s"merge-$appendIdx-lexstage", "complete",
+        fp, oldVocabN + newTerms, 0L,
+        Map("mergedBlocks" -> (oldNb + subNb).toString)))
+    }
+    if (!manifest.isComplete(s"merge-$appendIdx-lexicon", fp)) {
+      if (new java.io.File(lexStage).exists()) {
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(cfg.lexiconPath))
+        java.nio.file.Files.move(java.nio.file.Paths.get(lexStage),
+          java.nio.file.Paths.get(cfg.lexiconPath))
+      } // else: a previous attempt crashed after the move — already live
+      manifest.commit(StageRecord(s"merge-$appendIdx-lexicon", "complete",
+        fp, 0L, 0L, Map.empty))
+    }
+    val lexStageRec = manifest.get(s"merge-$appendIdx-lexstage").get
+    val vocabN = lexStageRec.rows
+    val mergedBlocks = lexStageRec.extra("mergedBlocks").toLong
+    // ...and again now that the swap replaced the lexicon files: a cached
+    // lexicon plan would otherwise keep later readers on dead paths.
     spark.catalog.refreshByPath(cfg.indexDir)
 
     // refresh the authoritative `postings` record with the MERGED block

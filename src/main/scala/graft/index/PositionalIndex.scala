@@ -112,10 +112,20 @@ object PositionalIndex {
     val toks = scala.util.Try(IndexBuilder.stats(cfg).totalTokens)
       .getOrElse(Long.MaxValue / 8)
     val parts = IndexBuilder.sizedParts(toks * 4L, cfg.rangeTargetBytes, cap)
-    positionRows(spark, corpus, cfg, baseDocId = 0L)
-      .repartitionByRange(parts, $"termId", $"docId")
-      .sortWithinPartitions($"termId", $"docId")
-      .write.mode("overwrite").parquet(cfg.positionsPath)
+    // persist before a multi-partition range exchange: its sampling job
+    // would otherwise run the tokenize + two joins lineage TWICE (the
+    // writeRanked one-pass fix; a 1-partition exchange samples nothing,
+    // so the persist would be pure churn there)
+    val rows0 = positionRows(spark, corpus, cfg, baseDocId = 0L)
+    val rows = if (parts > 1)
+      rows0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else rows0
+    try {
+      rows
+        .repartitionByRange(parts, $"termId", $"docId")
+        .sortWithinPartitions($"termId", $"docId")
+        .write.mode("overwrite").parquet(cfg.positionsPath)
+    } finally { if (parts > 1) rows.unpersist(); () }
 
     val n = spark.read.parquet(cfg.positionsPath).count()
     manifest.commit(StageRecord("positions", "complete", fp, n,
@@ -159,10 +169,17 @@ object PositionalIndex {
       IndexBuilder.sizedParts(bytes, cfg.rangeTargetBytes, cap)
     }
     val stage = s"${cfg.indexDir}/stage_positions_$segIdx"
-    positionRows(spark, batch, cfg, baseDocId)
-      .repartitionByRange(parts, $"termId", $"docId")
-      .sortWithinPartitions($"termId", $"docId")
-      .write.mode("overwrite").parquet(stage)
+    // same one-pass persist discipline as build() above
+    val rows0 = positionRows(spark, batch, cfg, baseDocId)
+    val rows = if (parts > 1)
+      rows0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else rows0
+    try {
+      rows
+        .repartitionByRange(parts, $"termId", $"docId")
+        .sortWithinPartitions($"termId", $"docId")
+        .write.mode("overwrite").parquet(stage)
+    } finally { if (parts > 1) rows.unpersist(); () }
     val n = spark.read.parquet(stage).count()
     IndexBuilder.mergeParquetDir(stage, cfg.positionsPath, s"posseg$segIdx")
     // re-list cached plans rooted here now that the posseg files exist: a

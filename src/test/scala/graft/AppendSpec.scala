@@ -114,10 +114,19 @@ class AppendSpec extends AnyFunSuite {
   test("retried append redoes an unrecorded partial docs/postings merge cleanly") {
     import spark.implicits._
     import graft.checkpoint.Manifest
+    import org.apache.commons.io.FileUtils
+    import java.io.File
     val dir = TestSpark.tmpDir("graft-append-retry2")
     val c = cfg(dir)
     IndexBuilder.build(spark, base.toDS(), c, "base")
     val preAppend = new Manifest(dir).read()
+    // snapshot the pre-append lexicon: a crash during the docs/postings
+    // merges happens BEFORE the lexicon merge step, and the staged+swap
+    // discipline guarantees the live lexicon only changes after
+    // merge-0-lexicon commits — so the faithful crash state holds the
+    // PRE-append lexicon alongside the half-merged docs/postings
+    val lexSnap = new File(s"$dir/lexicon_preappend_snap")
+    FileUtils.copyDirectory(new File(c.lexiconPath), lexSnap)
     IndexBuilder.append(spark, batch.toDS(), c, "batch1")
     val merged = new Manifest(dir).read()
 
@@ -128,6 +137,8 @@ class AppendSpec extends AnyFunSuite {
     val m2 = new Manifest(dir)
     preAppend.values.foreach(m2.commit)
     merged.view.filterKeys(_ == "merge-0-vocab").toMap.values.foreach(m2.commit)
+    FileUtils.deleteDirectory(new File(c.lexiconPath))
+    FileUtils.copyDirectory(lexSnap, new File(c.lexiconPath))
 
     val st = IndexBuilder.append(spark, batch.toDS(), c, "batch1")
     assert(st.numDocs == 500)
@@ -136,6 +147,37 @@ class AppendSpec extends AnyFunSuite {
     queries.take(4).foreach { q =>
       assert(s.searchWAND(q, 10).toVector == oracle.topK(q, 10), s"'$q'")
     }
+  }
+
+  test("incremental lexicon merge equals a full recompute over the merged postings") {
+    // append's lexicon step merges the pre-append lexicon with the new
+    // segment's per-term deltas instead of re-aggregating every block
+    // (r7 §2.4); this pins the merge column-for-column — including cf,
+    // nBlocks and the double-valued maxTfNorm — against the recompute
+    // formula over the merged postings, across two appends (one reusing
+    // old terms, one adding new ones)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.tmpDir("graft-append-lexmerge")
+    val c = cfg(dir)
+    IndexBuilder.build(spark, base.toDS(), c, "base")
+    IndexBuilder.append(spark, batch.toDS(), c, "b1")
+    val batch2 = (2000L until 2050L)
+      .map(i => { val f = CorpusGen.genFile(i, 42L); f.copy(repo = "c_" + f.repo) })
+    IndexBuilder.append(spark, batch2.toDS(), c, "b2")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"term", $"termId", $"df", $"cf", $"nBlocks", $"maxTfNorm")
+      .as[(String, Int, Long, Long, Int, Double)].collect().sortBy(_._2).toSeq
+    val got = rows(spark.read.parquet(c.lexiconPath))
+    val want = rows(spark.read.parquet(c.postingsPath)
+      .groupBy($"termId")
+      .agg(sum($"count").as("df"), sum($"sumTf").as("cf"),
+        count(lit(1)).cast("int").as("nBlocks"),
+        max($"maxTfNorm").as("maxTfNorm"))
+      .join(spark.read.parquet(c.vocabPath).select($"termId", $"term"),
+        "termId"))
+    assert(got.nonEmpty && got == want,
+      "merged lexicon diverged from the full recompute")
   }
 
   test("second append keeps extending (multi-segment); compaction restores single-segment layout") {
