@@ -171,6 +171,24 @@ object IndexBuilder {
     math.max(1L, math.min(cap.toLong, derived)).toInt
   }
 
+  /** Row count of a parquet dir from its file footers, driver-side — no
+    * Spark job. Used ONLY in the single-partition stage regimes (by the
+    * sizedParts rule the data is small there, typically one part-file);
+    * multi-partition stages keep the distributed count. */
+  private[index] def parquetRowCount(spark: SparkSession, dir: String): Long = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(hconf)
+    fs.listStatus(d)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(f, hconf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
+
   /** Plan-estimated size of a dataset's source (parquet file bytes for a
     * table scan); Long.MaxValue when the estimate is unusable. */
   private def planBytes(df: org.apache.spark.sql.DataFrame): Long = {
@@ -237,7 +255,7 @@ object IndexBuilder {
           }
         }.toDF("docId", "repo", "path", "commit")
           .write.mode("overwrite").parquet(cfg.keymapPath)
-        spark.read.parquet(cfg.keymapPath).count()
+        parquetRowCount(spark, cfg.keymapPath)
       } else {
         val sortedKeys = sortedAs(
           keys.repartitionByRange(rangeParts, $"repo", $"path", $"commit"))
@@ -338,7 +356,7 @@ object IndexBuilder {
       // reaches 1e8–1e9 terms; the only driver-side piece is the
       // partition-count-sized offsets array). The vocab's df column is
       // advisory (df at assignment time); the lexicon is authoritative.
-      val vocabN = writeRanked(spark,
+      val (vocabN, maxDf) = writeRanked(spark,
         spark.read.parquet(cfg.forwardPath)
           .select(explode($"terms").as("term"))
           .groupBy($"term").agg(count(lit(1)).as("df"))
@@ -347,15 +365,18 @@ object IndexBuilder {
 
       // Salt the top-df terms above threshold: bounded at maxHeavyTerms
       // (≤4096), so THIS collect is scale-safe by construction. Ties at the
-      // cutoff break by term (deterministic across parallelism).
+      // cutoff break by term (deterministic across parallelism). Skipped
+      // without a job when the vocab's max df (from writeRanked's one agg)
+      // can't cross the threshold — every small/micro-batch build.
       val heavy: java.util.HashSet[Integer] = {
         val s = new java.util.HashSet[Integer]()
-        spark.read.parquet(cfg.vocabPath)
-          .filter($"df" > cfg.heavyDfThreshold)
-          .orderBy($"df".desc, $"term".asc)
-          .limit(cfg.maxHeavyTerms)
-          .select($"termId").as[Int].collect()
-          .foreach(id => s.add(id))
+        if (maxDf > cfg.heavyDfThreshold)
+          spark.read.parquet(cfg.vocabPath)
+            .filter($"df" > cfg.heavyDfThreshold)
+            .orderBy($"df".desc, $"term".asc)
+            .limit(cfg.maxHeavyTerms)
+            .select($"termId").as[Int].collect()
+            .foreach(id => s.add(id))
         s
       }
 
@@ -374,8 +395,11 @@ object IndexBuilder {
     // ---- stage 4: lexicon + stats ------------------------------------------
     if (!manifest.isComplete("lexicon", fp)) {
       val t0 = System.nanoTime()
-      val (vocabN, _) = writeLexicon(spark, cfg.postingsPath, cfg.vocabPath,
+      writeLexicon(spark, cfg.postingsPath, cfg.vocabPath,
         cfg.lexiconPath, parts, cfg.rangeTargetBytes)
+      // one lexicon row per vocab term (see writeLexicon) — the count is
+      // stage 3's vocabSize, no job needed
+      val vocabN = manifest.get("postings").get.extra("vocabSize").toLong
       manifest.commit(StageRecord("lexicon", "complete", fp, vocabN,
         (System.nanoTime() - t0) / 1000000,
         Map("numDocs" -> numDocs.toString, "avgDl" -> avgDl.toString,
@@ -601,7 +625,8 @@ object IndexBuilder {
           .write.mode("overwrite").parquet(outPath)
       } finally { if (encodeParts > 1) runs.unpersist() }
     }
-    spark.read.parquet(outPath).count()
+    if (encodeParts == 1) parquetRowCount(spark, outPath)
+    else spark.read.parquet(outPath).count()
   }
 
   /** Cap on postings per packed shuffle run (~5 B/posting ⇒ ≤ ~40 KB run
@@ -725,13 +750,15 @@ object IndexBuilder {
   }
 
   /** Per-term stats aggregated from block metadata → lexicon parquet,
-    * range-partitioned and sorted by termId. Returns (term count, total
-    * block count) — both from ONE metadata-sized agg job, so callers that
-    * need the merged block total (append's postings-record refresh) pay
-    * no second pass. */
+    * range-partitioned and sorted by termId. Returns nothing: the lexicon
+    * row count equals the vocab size by construction (every vocab term
+    * has >= 1 posting block — terms come from forward rows; the append
+    * path already relies on this for termId base assignment) and the
+    * block total is the caller's postings count — both already in hand,
+    * so the old trailing count/sum job over the output is gone. */
   private def writeLexicon(spark: SparkSession, postingsPath: String,
       vocabPath: String, outPath: String, parts: Int,
-      targetBytes: Long = 32L * 1024 * 1024): (Long, Long) = {
+      targetBytes: Long = 32L * 1024 * 1024): Unit = {
     import spark.implicits._
     val vocab = spark.read.parquet(vocabPath).select($"termId", $"term")
     // one lexicon row per vocab term: size the range exchange from the
@@ -765,9 +792,6 @@ object IndexBuilder {
           .write.mode("overwrite").parquet(outPath)
       } finally { src.unpersist(); () }
     }
-    spark.read.parquet(outPath)
-      .agg(count(lit(1)), coalesce(sum($"nBlocks".cast("long")), lit(0L)))
-      .as[(Long, Long)].head()
   }
 
   /** Compact a multi-segment index back to the single-segment layout.
@@ -863,8 +887,11 @@ object IndexBuilder {
     val nb = encodePostings(spark, fw, heavy, st.numDocs, st.avgDl, cfg,
       parts, st.totalTokens, metricsAcc, postingsNew)
     val lexiconNew = s"${cfg.indexDir}/lexicon_compact"
-    val (vocabN, _) = writeLexicon(spark, postingsNew, cfg.vocabPath,
+    writeLexicon(spark, postingsNew, cfg.vocabPath,
       lexiconNew, parts, cfg.rangeTargetBytes)
+    // compact never changes the vocabulary, so the merged vocabN is the
+    // pre-compact lexicon record's row count (one row per vocab term)
+    val vocabN = manifest.get("lexicon").get.rows
 
     // all three staged dirs are complete and mutually consistent: from here
     // the swap sequence is recoverable step-by-step (records below)
@@ -947,11 +974,14 @@ object IndexBuilder {
     * state is the partition-count-sized offsets array — the same trick the
     * keymap stage uses for docIds. Data is materialized exactly once and
     * written exactly once. Input rows are (term, df); output parquet at
-    * `outPath` has (termId:int, term, df). Returns the number of terms. */
+    * `outPath` has (termId:int, term, df). Returns (number of terms,
+    * max df) — both from the ONE materializing agg action, so callers
+    * that can skip work when no df crosses a threshold (the heavy-term
+    * collect) pay no extra job for the knowledge. */
   private[graft] def writeRanked(spark: SparkSession,
       in: Dataset[(String, Long)], parts: Int,
       outPath: String, baseId: Long,
-      targetBytes: Long = 32L * 1024 * 1024): Long = {
+      targetBytes: Long = 32L * 1024 * 1024): (Long, Long) = {
     import spark.implicits._
     // persist the INPUT before the range exchange: repartitionByRange
     // samples its child, and without this the (term, df) aggregation —
@@ -962,7 +992,9 @@ object IndexBuilder {
     val agg = in.toDF("term", "df")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val nRows = agg.count()
+      val (nRows, maxDf) = agg
+        .agg(count(lit(1)), coalesce(max($"df"), lit(0L)))
+        .as[(Long, Long)].head()
       val rangeParts = sizedParts(nRows * 32L, targetBytes, parts)
       if (rangeParts == 1) {
         // single range partition: coalesce instead of an exchange (same
@@ -976,7 +1008,7 @@ object IndexBuilder {
           it.map { case (term, df) => i += 1; (i.toInt, term, df) }
         }.toDF("termId", "term", "df")
           .write.mode("overwrite").parquet(outPath)
-        nRows
+        (nRows, maxDf)
       } else {
         val sorted = agg
           .repartitionByRange(rangeParts, $"term")
@@ -998,7 +1030,7 @@ object IndexBuilder {
             it.map { case (term, df) => i += 1; ((off + i).toInt, term, df) }
           }.toDF("termId", "term", "df")
             .write.mode("overwrite").parquet(outPath)
-          total
+          (total, maxDf)
         } finally sorted.unpersist()
       }
     } finally agg.unpersist()
@@ -1125,7 +1157,7 @@ object IndexBuilder {
       val newRanked = s"${cfg.indexDir}/vocab_newterms"
       val parts0 = if (cfg.buildPartitions > 0) cfg.buildPartitions
         else spark.sparkContext.defaultParallelism
-      val newTerms = writeRanked(spark,
+      val (newTerms, _) = writeRanked(spark,
         spark.read.parquet(subCfg.vocabPath).select($"term", $"df")
           .join(oldVocab.select($"term"), Seq("term"), "left_anti")
           .select($"term", $"df").as[(String, Long)],
@@ -1322,8 +1354,8 @@ object IndexBuilder {
     spark.catalog.refreshByPath(cfg.indexDir)
 
     // refresh the authoritative `postings` record with the MERGED block
-    // count (returned by writeLexicon's single agg — no second lexicon
-    // pass): the Searcher's localServe/cache budgets gate on this record,
+    // count (derived in the lexstage step from records in hand — no
+    // lexicon pass): the Searcher's localServe/cache budgets gate on this record,
     // and without the refresh an append could silently grow the
     // driver-side cache past its stated budget
     manifest.get("postings").foreach { rec =>

@@ -127,7 +127,9 @@ object PositionalIndex {
         .write.mode("overwrite").parquet(cfg.positionsPath)
     } finally { if (parts > 1) rows.unpersist(); () }
 
-    val n = spark.read.parquet(cfg.positionsPath).count()
+    // single-partition regime: count from the file footers driver-side
+    val n = if (parts == 1) IndexBuilder.parquetRowCount(spark, cfg.positionsPath)
+      else spark.read.parquet(cfg.positionsPath).count()
     manifest.commit(StageRecord("positions", "complete", fp, n,
       (System.nanoTime() - t0) / 1000000, Map.empty))
     n
@@ -180,7 +182,8 @@ object PositionalIndex {
         .sortWithinPartitions($"termId", $"docId")
         .write.mode("overwrite").parquet(stage)
     } finally { if (parts > 1) rows.unpersist(); () }
-    val n = spark.read.parquet(stage).count()
+    val n = if (parts == 1) IndexBuilder.parquetRowCount(spark, stage)
+      else spark.read.parquet(stage).count()
     IndexBuilder.mergeParquetDir(stage, cfg.positionsPath, s"posseg$segIdx")
     // re-list cached plans rooted here now that the posseg files exist: a
     // live Searcher's persisted positional reads pin the pre-append file

@@ -123,9 +123,14 @@ final class TableIndexer(spark: SparkSession, ops: TableOps,
     // may refer to (its re-indexed twin, if any, gets an id >= base)
     val base = IndexBuilder.stats(cfg).numDocs
 
-    // filterNot(isEmpty): an added file can hold zero rows (TRUNCATE's
-    // empty-state commit) — appending an empty segment is pointless
-    ops.readFilesOf(table, cur, added).filterNot(_.isEmpty).foreach { df =>
+    // skip an empty batch: an added file can hold zero rows (TRUNCATE's
+    // empty-state commit) — appending an empty segment is pointless. The
+    // manifest's exact per-file row stats answer it without a Spark job;
+    // a stats-less legacy file falls back to the isEmpty job.
+    val addedRows = ops.rowsOfFilesFromStats(table, cur, added)
+    ops.readFilesOf(table, cur, added)
+      .filterNot(df => addedRows.map(_ == 0L).getOrElse(df.isEmpty))
+      .foreach { df =>
       IndexBuilder.append(spark, toCorpus(df), cfg,
         fingerprint = s"table:$table:v$synced-v$cur")
       // positional sidecar (when built): the batch's position rows land as

@@ -481,6 +481,19 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
     else Some(perFile.flatten.map(_.rows).sum)
   }
 
+  /** Total rows of `paths` in version `v` from MANIFEST stats alone (no
+    * Spark job); None when any of them predates per-file stats.
+    * TableIndexer.refresh uses it to skip an empty-batch append without
+    * running an isEmpty job. */
+  def rowsOfFilesFromStats(table: String, v: Long,
+      paths: Set[String]): Option[Long] = {
+    val m = readManifest(table, v)
+    val per = m.groups.flatMap(g =>
+      g.paths.filter(paths.contains).map(g.stats.get))
+    if (per.exists(_.isEmpty)) None
+    else Some(per.flatten.map(_.rows).sum)
+  }
+
   private def isExactStatsType(typ: String): Boolean =
     Set("tinyint", "smallint", "int", "bigint").contains(typ) ||
       typ.startsWith("decimal")

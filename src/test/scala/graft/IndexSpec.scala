@@ -260,9 +260,10 @@ class IndexSpec extends AnyFunSuite {
     val expected = terms.map(_._1).sorted.zipWithIndex.toMap
     Seq(1, 2, 5).foreach { parts =>
       val out = TestSpark.tmpDir(s"graft-rank-$parts")
-      val n = IndexBuilder.writeRanked(spark, terms.toDS(), parts,
+      val (n, maxDf) = IndexBuilder.writeRanked(spark, terms.toDS(), parts,
         s"$out/vocab", baseId = 0L)
       assert(n == terms.length)
+      assert(maxDf == 1L)
       val got = spark.read.parquet(s"$out/vocab")
         .select($"term", $"termId").as[(String, Int)].collect().toMap
       assert(got == expected, s"rank drift at parts=$parts")
