@@ -1236,7 +1236,32 @@ object IndexBuilder {
     val parts = if (cfg.buildPartitions > 0) cfg.buildPartitions
       else spark.sparkContext.defaultParallelism
     val lexStage = s"${cfg.indexDir}/lexicon_stage_$appendIdx"
+    // ABANDONED-APPEND GUARD: a previous attempt at THIS segment index
+    // under a DIFFERENT caller fingerprint (a crashed refresh whose table
+    // moved again before the retry) may have completed its lexicon swap —
+    // the live lexicon then already contains the abandoned batch's deltas.
+    // Steps 2–4 are immune (they replace their files under the segN-
+    // prefix) but the lexicon is merged in place, so the incremental path
+    // would double-count: fall back to the idempotent full recompute over
+    // the merged postings (the pre-r7 step), staged + swapped identically.
+    val staleLexMerge = records.exists { case (k, r) =>
+      (k == s"merge-$appendIdx-lexstage" ||
+        k == s"merge-$appendIdx-lexicon") && r.inputFingerprint != fp
+    }
     if (!manifest.isComplete(s"merge-$appendIdx-lexstage", fp)) {
+      if (staleLexMerge) {
+        writeLexicon(spark, cfg.postingsPath, cfg.vocabPath, lexStage,
+          parts, cfg.rangeTargetBytes)
+        // recount from the recomputed stage (the crashed attempt may also
+        // have refreshed the postings record, so bookkeeping-derived
+        // totals are not trustworthy here)
+        val (vn, nb2) = spark.read.parquet(lexStage)
+          .agg(count(lit(1)),
+            coalesce(sum($"nBlocks".cast("long")), lit(0L)))
+          .as[(Long, Long)].head()
+        manifest.commit(StageRecord(s"merge-$appendIdx-lexstage",
+          "complete", fp, vn, 0L, Map("mergedBlocks" -> nb2.toString)))
+      } else {
       val segPostings = Option(new java.io.File(cfg.postingsPath).listFiles())
         .getOrElse(Array.empty[java.io.File])
         .filter(_.getName.startsWith(s"seg$appendIdx-")).map(_.getPath).toSeq
@@ -1335,6 +1360,7 @@ object IndexBuilder {
       manifest.commit(StageRecord(s"merge-$appendIdx-lexstage", "complete",
         fp, oldVocabN + newTerms, 0L,
         Map("mergedBlocks" -> (oldNb + subNb).toString)))
+      }
     }
     if (!manifest.isComplete(s"merge-$appendIdx-lexicon", fp)) {
       if (new java.io.File(lexStage).exists()) {

@@ -180,6 +180,51 @@ class AppendSpec extends AnyFunSuite {
       "merged lexicon diverged from the full recompute")
   }
 
+  test("abandoned mid-append under a different fingerprint does not contaminate the lexicon") {
+    // a refresh can crash AFTER its lexicon swap but before its final
+    // records; if the table moves again, the retry arrives with a
+    // DIFFERENT fingerprint at the SAME segment index. The live lexicon
+    // then already holds the abandoned batch's deltas — the incremental
+    // merge must detect the stale merge records and fall back to the
+    // idempotent full recompute (the guard in append step 5).
+    import spark.implicits._
+    import graft.checkpoint.Manifest
+    val dir = TestSpark.tmpDir("graft-append-abandon")
+    val c = cfg(dir)
+    IndexBuilder.build(spark, base.toDS(), c, "base")
+    val preAppend = new Manifest(dir).read()
+    IndexBuilder.append(spark, batch.toDS(), c, "batchA")
+    val merged = new Manifest(dir).read()
+    // rewind to the crash state: base records + ALL merge-0-* records
+    // (batchA's fingerprint) + batchA's refreshed postings record; live
+    // dirs keep batchA's segment files and the batchA-merged lexicon
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "manifest.json"))
+    val m2 = new Manifest(dir)
+    preAppend.values.foreach(m2.commit)
+    merged.view.filterKeys(_.startsWith("merge-0-")).toMap.values.foreach(m2.commit)
+    m2.commit(merged("postings"))
+
+    val batchB = (3000L until 3120L)
+      .map(i => { val f = CorpusGen.genFile(i, 42L); f.copy(repo = "d_" + f.repo) })
+    val st = IndexBuilder.append(spark, batchB.toDS(), c, "batchB")
+    assert(st.numDocs == 420)
+
+    val dirS = TestSpark.tmpDir("graft-append-abandon-scratch")
+    val cS = cfg(dirS)
+    IndexBuilder.build(spark, (base ++ batchB).toDS(), cS, "scratch")
+    val dfA = spark.read.parquet(c.lexiconPath)
+      .select($"term", $"df").as[(String, Long)].collect().toMap
+    val dfS = spark.read.parquet(cS.lexiconPath)
+      .select($"term", $"df").as[(String, Long)].collect().toMap
+    assert(dfA == dfS, "abandoned batch leaked into the merged lexicon")
+
+    val o = new SequentialOracle(base ++ batchB)
+    val s = new Searcher(spark, c)
+    Seq("if return", "hash join", "def val").foreach { q =>
+      assert(s.searchWAND(q, 10).toVector == o.topK(q, 10), s"'$q'")
+    }
+  }
+
   test("second append keeps extending (multi-segment); compaction restores single-segment layout") {
     import spark.implicits._
     val dir = TestSpark.tmpDir("graft-append2")
