@@ -398,8 +398,11 @@ object IndexBuilder {
       writeLexicon(spark, cfg.postingsPath, cfg.vocabPath,
         cfg.lexiconPath, parts, cfg.rangeTargetBytes)
       // one lexicon row per vocab term (see writeLexicon) — the count is
-      // stage 3's vocabSize, no job needed
-      val vocabN = manifest.get("postings").get.extra("vocabSize").toLong
+      // stage 3's vocabSize, no job needed; a legacy postings record
+      // without the key (resumed old index) falls back to one count
+      val vocabN = manifest.get("postings")
+        .flatMap(_.extra.get("vocabSize")).map(_.toLong)
+        .getOrElse(spark.read.parquet(cfg.lexiconPath).count())
       manifest.commit(StageRecord("lexicon", "complete", fp, vocabN,
         (System.nanoTime() - t0) / 1000000,
         Map("numDocs" -> numDocs.toString, "avgDl" -> avgDl.toString,
@@ -1112,9 +1115,33 @@ object IndexBuilder {
     // no-op. Without it the retry would count the completed record into
     // appendIdx and append the same batch again as a fresh segment,
     // double-indexing every row.
-    if (fingerprint.nonEmpty && records.exists { case (k, r) =>
-        k.matches("append-\\d+") && r.inputFingerprint == fp })
-      return st
+    if (fingerprint.nonEmpty) records.find { case (k, r) =>
+      k.matches("append-\\d+") && r.inputFingerprint == fp
+    }.foreach { case (k, rec) =>
+      // One narrower crash window inside the no-op: the process died
+      // BETWEEN the append-N commit and the trailing lexicon-record
+      // commit, leaving the global stats (numDocs/vocabN/totalTokens)
+      // at their pre-append values — the NEXT append would then reuse
+      // the docId and termId bases, silently colliding ids. Repair the
+      // lexicon record from the append record's own fields before
+      // returning (records carry subTokens for exactly this; ones that
+      // predate the field keep the plain no-op).
+      val idx = k.stripPrefix("append-").toInt
+      val expectDocs = rec.extra("docIdBase").toLong + rec.rows
+      if (idx == appendIdx - 1 && st.numDocs != expectDocs)
+        rec.extra.get("subTokens").foreach { sub =>
+          val tokens = st.totalTokens + sub.toLong
+          val vocabN = manifest.get(s"merge-$idx-lexstage").map(_.rows)
+            .getOrElse(st.vocabSize)
+          manifest.commit(StageRecord("lexicon", "complete",
+            s"v$FormatVersion:append$idx", vocabN, 0L,
+            Map("numDocs" -> expectDocs.toString,
+              "avgDl" ->
+                (tokens.toDouble / math.max(expectDocs, 1L)).toString,
+              "totalTokens" -> tokens.toString)))
+        }
+      return stats(cfg)
+    }
     val t0 = System.nanoTime()
 
     // 1) standalone sub-index for the batch (internally checkpointed; a
@@ -1132,7 +1159,9 @@ object IndexBuilder {
     //    whole-vocab union rewrite was an O(vocab) pass per batch, the
     //    one append step that did not scale with the change size).
     val vocabLive = new java.io.File(cfg.vocabPath)
+    var vocabMergedThisAttempt = false
     if (!manifest.isComplete(s"merge-$appendIdx-vocab", fp)) {
+      vocabMergedThisAttempt = true
       val vocabNewLegacy = s"${cfg.indexDir}/vocab_new"
       if (!vocabLive.exists() && new java.io.File(vocabNewLegacy).exists()) {
         // a pre-r7 builder crashed between its delete and move: finish it
@@ -1247,7 +1276,14 @@ object IndexBuilder {
     val staleLexMerge = records.exists { case (k, r) =>
       (k == s"merge-$appendIdx-lexstage" ||
         k == s"merge-$appendIdx-lexicon") && r.inputFingerprint != fp
-    }
+    } ||
+      // a RESUMED vocab-merge record with rows == 0 is ambiguous: the
+      // legacy whole-vocab-rewrite builder always committed rows = 0 and
+      // wrote NO segN- vocab part-files, so the batch may hold new terms
+      // the incremental merge cannot see. The full recompute is correct
+      // under both readings; only a legacy crash-resume pays for it.
+      (!vocabMergedThisAttempt &&
+        manifest.get(s"merge-$appendIdx-vocab").exists(_.rows == 0L))
     if (!manifest.isComplete(s"merge-$appendIdx-lexstage", fp)) {
       if (staleLexMerge) {
         writeLexicon(spark, cfg.postingsPath, cfg.vocabPath, lexStage,
@@ -1398,7 +1434,8 @@ object IndexBuilder {
       fp, subStats.numDocs,
       (System.nanoTime() - t0) / 1000000,
       Map("docIdBase" -> base.toString, "shardBase" -> shardBase.toString,
-          "avgDlAtBuild" -> subStats.avgDl.toString)))
+          "avgDlAtBuild" -> subStats.avgDl.toString,
+          "subTokens" -> subStats.totalTokens.toString)))
     manifest.commit(StageRecord("lexicon", "complete",
       s"v$FormatVersion:append$appendIdx", vocabN, 0L,
       Map("numDocs" -> numDocs.toString, "avgDl" -> avgDl.toString,

@@ -475,10 +475,8 @@ final class TableOps(spark: SparkSession, root: String, val io: TableIO) {
   /** Row count of the current version from MANIFEST stats alone (no Spark
     * job); None when any file predates per-file stats. */
   def rowCountFromStats(table: String): Option[Long] = {
-    val m = readManifest(table, currentVersion(table))
-    val perFile = m.groups.flatMap(g => g.paths.map(g.stats.get))
-    if (perFile.exists(_.isEmpty)) None
-    else Some(perFile.flatten.map(_.rows).sum)
+    val v = currentVersion(table)
+    rowsOfFilesFromStats(table, v, dataFiles(table, v).toSet)
   }
 
   /** Total rows of `paths` in version `v` from MANIFEST stats alone (no

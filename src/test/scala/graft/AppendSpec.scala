@@ -225,6 +225,81 @@ class AppendSpec extends AnyFunSuite {
     }
   }
 
+  test("retry repairs a lost trailing stats record (crash between final commits)") {
+    // crash window: append-0 committed, the trailing lexicon stats record
+    // lost. The retry must repair numDocs/vocabN/totalTokens from the
+    // append record's own fields (subTokens) — otherwise the NEXT append
+    // reuses the docId/termId bases and silently collides ids.
+    import spark.implicits._
+    import graft.checkpoint.Manifest
+    val dir = TestSpark.tmpDir("graft-append-lostlex")
+    val c = cfg(dir)
+    IndexBuilder.build(spark, base.toDS(), c, "base")
+    val preAppend = new Manifest(dir).read()
+    IndexBuilder.append(spark, batch.toDS(), c, "batch1")
+    val merged = new Manifest(dir).read()
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "manifest.json"))
+    val m2 = new Manifest(dir)
+    preAppend.values.foreach(m2.commit)
+    merged.view.filterKeys(k => k.startsWith("merge-0-") || k == "append-0")
+      .toMap.values.foreach(m2.commit)
+    m2.commit(merged("postings"))
+    assert(IndexBuilder.stats(c).numDocs == 300, "crash state not set up")
+
+    val st = IndexBuilder.append(spark, batch.toDS(), c, "batch1") // retry
+    assert(st.numDocs == 500, s"stats not repaired: ${st.numDocs}")
+    val batch2 = (2000L until 2100L)
+      .map(i => { val f = CorpusGen.genFile(i, 42L); f.copy(repo = "c_" + f.repo) })
+    val st2 = IndexBuilder.append(spark, batch2.toDS(), c, "b2")
+    assert(st2.numDocs == 600)
+    val o = new SequentialOracle(base ++ batch ++ batch2)
+    val s = new Searcher(spark, c)
+    Seq("if return", "hash join", "def val").foreach { q =>
+      assert(s.searchWAND(q, 10).toVector == o.topK(q, 10), s"'$q'")
+    }
+  }
+
+  test("legacy whole-vocab-rewrite resume falls back to the lexicon recompute") {
+    // a pre-seg-file builder rewrote the WHOLE vocab (no segN- part-files)
+    // and committed merge-N-vocab with rows = 0; resuming such a crashed
+    // append with the incremental lexicon merge would silently drop the
+    // batch's new terms — the rows==0 resume guard must take the full
+    // recompute instead.
+    import spark.implicits._
+    import graft.checkpoint.Manifest
+    import java.io.File
+    val dir = TestSpark.tmpDir("graft-append-legacyvocab")
+    val c = cfg(dir)
+    IndexBuilder.build(spark, base.toDS(), c, "base")
+    val preAppend = new Manifest(dir).read()
+    IndexBuilder.append(spark, batch.toDS(), c, "batch1")
+    val merged = new Manifest(dir).read()
+    // legacy look: the new terms live only in UNPREFIXED vocab files
+    new File(c.vocabPath).listFiles()
+      .filter(_.getName.startsWith("seg0-")).foreach { f =>
+        java.nio.file.Files.move(f.toPath, new File(f.getParentFile,
+          f.getName.stripPrefix("seg0-") + "-legacy").toPath); ()
+      }
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "manifest.json"))
+    val m2 = new Manifest(dir)
+    preAppend.values.foreach(m2.commit)
+    m2.commit(merged("merge-0-vocab").copy(rows = 0L))
+    m2.commit(merged("merge-0-docs"))
+    m2.commit(merged("merge-0-postings"))
+    m2.commit(merged("postings"))
+
+    val st = IndexBuilder.append(spark, batch.toDS(), c, "batch1") // resume
+    assert(st.numDocs == 500)
+    val dirS = TestSpark.tmpDir("graft-legacyvocab-scratch")
+    val cS = cfg(dirS)
+    IndexBuilder.build(spark, (base ++ batch).toDS(), cS, "all")
+    val dfA = spark.read.parquet(c.lexiconPath)
+      .select($"term", $"df").as[(String, Long)].collect().toMap
+    val dfS = spark.read.parquet(cS.lexiconPath)
+      .select($"term", $"df").as[(String, Long)].collect().toMap
+    assert(dfA == dfS, "legacy resume dropped the batch's new terms")
+  }
+
   test("second append keeps extending (multi-segment); compaction restores single-segment layout") {
     import spark.implicits._
     val dir = TestSpark.tmpDir("graft-append2")
